@@ -1,0 +1,118 @@
+"""Bilinear grid sampling for NHWC images (jnp gather based).
+
+TPU-native replacement for the two native samplers the reference delegates
+to PyTorch/CUDA:
+  * F.grid_sample(..., padding_mode="border", align_corners=True) used by
+    the reprojection warp (DepthNetworks/monodepth2/trainer.py:515-519),
+  * the zero-filled bilinear resampling inside
+    torchvision.transforms.functional.perspective (physicalTrans.py:141).
+
+Implementation: 4 flat gathers (take_along_axis over H*W) + a weighted sum.
+All shapes static; differentiable w.r.t. both image and grid; works under
+vmap/jit/pjit. A fused Pallas kernel can replace the gathers later without
+changing this interface.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_2d(img, ix, iy):
+    """Gather img[b, iy, ix, :] with integer index maps.
+
+    img: (B, H, W, C); ix/iy: (B, Ho, Wo) int32 already in-range.
+    Returns (B, Ho, Wo, C).
+    """
+    B, H, W, C = img.shape
+    _, Ho, Wo = ix.shape
+    flat = img.reshape(B, H * W, C)
+    idx = (iy * W + ix).reshape(B, Ho * Wo, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(B, Ho, Wo, C)
+
+
+def bilinear_sample_pixels(img, x, y, padding_mode: str = "border"):
+    """Bilinear sample at pixel coordinates (x, y).
+
+    Args:
+      img: (B, H, W, C).
+      x, y: (B, Ho, Wo) float pixel coordinates (0..W-1 / 0..H-1 in-range).
+      padding_mode: "border" clamps coordinates (torch grid_sample border
+        semantics); "zeros" gives out-of-range neighbors zero contribution.
+    Returns:
+      (B, Ho, Wo, C).
+    """
+    B, H, W, C = img.shape
+    compute_dtype = img.dtype
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = (x - x0f).astype(compute_dtype)[..., None]
+    wy = (y - y0f).astype(compute_dtype)[..., None]
+
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    if padding_mode == "zeros":
+        # Per-neighbor validity, torch zero-padding semantics.
+        vx0 = (x0 >= 0) & (x0 <= W - 1)
+        vx1 = (x1 >= 0) & (x1 <= W - 1)
+        vy0 = (y0 >= 0) & (y0 <= H - 1)
+        vy1 = (y1 >= 0) & (y1 <= H - 1)
+        m00 = (vx0 & vy0).astype(compute_dtype)[..., None]
+        m01 = (vx1 & vy0).astype(compute_dtype)[..., None]
+        m10 = (vx0 & vy1).astype(compute_dtype)[..., None]
+        m11 = (vx1 & vy1).astype(compute_dtype)[..., None]
+    else:
+        m00 = m01 = m10 = m11 = None
+
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y1, 0, H - 1)
+
+    v00 = _gather_2d(img, x0c, y0c)
+    v01 = _gather_2d(img, x1c, y0c)
+    v10 = _gather_2d(img, x0c, y1c)
+    v11 = _gather_2d(img, x1c, y1c)
+
+    w00 = (1 - wx) * (1 - wy)
+    w01 = wx * (1 - wy)
+    w10 = (1 - wx) * wy
+    w11 = wx * wy
+
+    if padding_mode == "zeros":
+        w00, w01, w10, w11 = w00 * m00, w01 * m01, w10 * m10, w11 * m11
+
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+def grid_sample(img, grid, padding_mode: str = "border",
+                align_corners: bool = True):
+    """torch.nn.functional.grid_sample (bilinear) for NHWC images.
+
+    Args:
+      img: (B, H, W, C).
+      grid: (B, Ho, Wo, 2) normalized coords in [-1, 1], last dim (x, y).
+      padding_mode: "border" | "zeros".
+      align_corners: torch convention for unnormalization.
+    Returns:
+      (B, Ho, Wo, C).
+    """
+    B, H, W, C = img.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
+    return bilinear_sample_pixels(img, x, y, padding_mode=padding_mode)
