@@ -1,0 +1,88 @@
+"""Model assembly: encoder + decoder wrappers and predictor bundles.
+
+Reference: depth_model.py:10-58 (DepthModelWrapper returns ("disp", 0);
+ManyDepthModelWrapper feeds zero lookup frames/poses into the cost-volume
+encoder and rescales disparity by /8.6437).
+
+`DepthPredictor` is the functional bundle attacks/eval consume: a static
+apply_fn plus a variables pytree. Applying it always uses BatchNorm
+running statistics (eval semantics), matching the reference's
+Attack.__call__ which forces model.eval() during perturbation
+(torchattacks/attack.py:296-320).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from .resnet import ResnetEncoder
+from .depth_decoder import DepthDecoder
+
+
+class MonodepthModel(nn.Module):
+    """encoder + depth decoder; __call__ returns full-res disparity."""
+
+    num_layers: int = 18
+    scales: Sequence[int] = (0, 1, 2, 3)
+
+    def setup(self):
+        self.encoder = ResnetEncoder(num_layers=self.num_layers,
+                                     name="encoder")
+        self.decoder = DepthDecoder(scales=tuple(self.scales),
+                                    name="decoder")
+
+    def __call__(self, x, train: bool = False):
+        features = self.encoder(x, train=train)
+        outputs = self.decoder(features)
+        return outputs[("disp", 0)]
+
+    def features_and_disps(self, x, train: bool = False):
+        """Returns (features, {("disp", s): ...}) for the trainer."""
+        features = self.encoder(x, train=train)
+        return features, self.decoder(features)
+
+
+@flax.struct.dataclass
+class DepthPredictor:
+    """Frozen functional depth model: images (B,H,W,3) -> disp (B,H,W,1).
+
+    A pytree (variables are leaves; apply_fn static), so it can be passed
+    straight into jitted attack loops and donated/replicated under pjit.
+    """
+
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    variables: Any = flax.struct.field(pytree_node=True)
+
+    def __call__(self, images):
+        return self.apply_fn(self.variables, images)
+
+
+def make_monodepth2(num_layers: int = 18,
+                    scales: Sequence[int] = (0, 1, 2, 3)) -> MonodepthModel:
+    return MonodepthModel(num_layers=num_layers, scales=scales)
+
+
+def init_monodepth2(rng, height: int = 320, width: int = 1024,
+                    num_layers: int = 18):
+    """Initialize a MonodepthModel; returns (module, variables)."""
+    model = make_monodepth2(num_layers=num_layers)
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables
+
+
+def predictor_from(model: MonodepthModel, variables) -> DepthPredictor:
+    def apply_fn(v, images):
+        return model.apply(v, images, train=False)
+
+    return DepthPredictor(apply_fn=apply_fn, variables=variables)
+
+
+def manydepth_rescale(disp):
+    """ManyDepth wrapper output rescale (depth_model.py:58)."""
+    return disp / 8.6437

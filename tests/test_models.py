@@ -1,0 +1,159 @@
+"""Numeric parity: flax models + torch_import vs torch oracles."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from depthmodelhardening_tpu.models import (
+    ResnetEncoder, DepthDecoder, PoseDecoder, SimSiam, MonodepthModel,
+    encoder_channels,
+)
+from depthmodelhardening_tpu.models.torch_import import (
+    convert_resnet_encoder,
+    convert_depth_decoder,
+    convert_pose_decoder,
+    convert_simsiam,
+    export_resnet_encoder,
+    export_depth_decoder,
+)
+
+from torch_oracles import (
+    TorchResNet18Features, TorchDepthDecoder, TorchPoseDecoder, TorchSimSiam,
+)
+
+RNG = np.random.RandomState(42)
+
+
+def _randomize_bn_stats(module):
+    """Perturb running stats so stat-mapping bugs can't hide behind 0/1."""
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+
+def test_resnet18_encoder_parity():
+    torch.manual_seed(0)
+    oracle = TorchResNet18Features().eval()
+    _randomize_bn_stats(oracle)
+
+    variables, meta = convert_resnet_encoder(oracle.state_dict())
+    enc = ResnetEncoder(num_layers=18)
+
+    x = RNG.rand(2, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+    ours = enc.apply({"params": variables["params"],
+                      "batch_stats": variables["batch_stats"]},
+                     jnp.asarray(x), train=False)
+    assert len(ours) == 5
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(o),
+                                   r.permute(0, 2, 3, 1).numpy(),
+                                   atol=2e-4)
+
+
+def test_encoder_init_shapes():
+    enc = ResnetEncoder(num_layers=18)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    feats = enc.apply(v, jnp.zeros((2, 64, 96, 3)), train=False)
+    chans = encoder_channels(18)
+    assert [f.shape for f in feats] == [
+        (2, 32, 48, chans[0]), (2, 16, 24, chans[1]), (2, 8, 12, chans[2]),
+        (2, 4, 6, chans[3]), (2, 2, 3, chans[4])]
+
+
+def test_depth_decoder_parity():
+    torch.manual_seed(1)
+    oracle = TorchDepthDecoder().eval()
+    variables = convert_depth_decoder(oracle.state_dict())
+
+    feats_np = [RNG.rand(1, 32, 48, 64).astype(np.float32),
+                RNG.rand(1, 16, 24, 64).astype(np.float32),
+                RNG.rand(1, 8, 12, 128).astype(np.float32),
+                RNG.rand(1, 4, 6, 256).astype(np.float32),
+                RNG.rand(1, 2, 3, 512).astype(np.float32)]
+    with torch.no_grad():
+        ref = oracle([torch.from_numpy(f).permute(0, 3, 1, 2)
+                      for f in feats_np])
+    dec = DepthDecoder()
+    ours = dec.apply(variables, [jnp.asarray(f) for f in feats_np])
+    for s in range(4):
+        np.testing.assert_allclose(
+            np.asarray(ours[("disp", s)]),
+            ref[("disp", s)].permute(0, 2, 3, 1).numpy(), atol=2e-5)
+
+
+def test_pose_decoder_parity():
+    torch.manual_seed(2)
+    oracle = TorchPoseDecoder().eval()
+    variables = convert_pose_decoder(oracle.state_dict())
+
+    feat = RNG.rand(2, 2, 3, 512).astype(np.float32)
+    with torch.no_grad():
+        aa_ref, t_ref = oracle([[torch.from_numpy(feat).permute(0, 3, 1, 2)]])
+    pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2)
+    aa, t = pose.apply(variables, [[jnp.asarray(feat)]])
+    np.testing.assert_allclose(np.asarray(aa), aa_ref.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), t_ref.numpy(), atol=1e-6)
+
+
+def test_simsiam_parity_eval_stats():
+    torch.manual_seed(3)
+    oracle = TorchSimSiam().eval()
+    _randomize_bn_stats(oracle)
+    variables = convert_simsiam(oracle.state_dict())
+
+    f1 = RNG.rand(4, 2, 3, 512).astype(np.float32)
+    f2 = RNG.rand(4, 2, 3, 512).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle([torch.from_numpy(f1).permute(0, 3, 1, 2)],
+                     [torch.from_numpy(f2).permute(0, 3, 1, 2)])
+    ss = SimSiam()
+    ours = ss.apply(variables, [jnp.asarray(f1)], [jnp.asarray(f2)],
+                    train=False)
+    np.testing.assert_allclose(float(ours), float(ref), atol=1e-5)
+
+
+def test_full_model_and_export_roundtrip():
+    torch.manual_seed(4)
+    enc_oracle = TorchResNet18Features().eval()
+    dec_oracle = TorchDepthDecoder().eval()
+    _randomize_bn_stats(enc_oracle)
+
+    enc_vars, _ = convert_resnet_encoder(enc_oracle.state_dict())
+    dec_vars = convert_depth_decoder(dec_oracle.state_dict())
+
+    model = MonodepthModel(num_layers=18)
+    variables = {
+        "params": {"encoder": enc_vars["params"],
+                   "decoder": dec_vars["params"]},
+        "batch_stats": {"encoder": enc_vars["batch_stats"]},
+    }
+    x = RNG.rand(1, 64, 96, 3).astype(np.float32)
+    disp = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref_feats = enc_oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+        ref_disp = dec_oracle(ref_feats)[("disp", 0)]
+    np.testing.assert_allclose(np.asarray(disp),
+                               ref_disp.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-4)
+
+    # export -> reconvert roundtrip (save_depth_model parity)
+    exported = export_resnet_encoder(enc_vars)
+    assert exported["height"] == 320 and exported["use_stereo"] is True
+    reconv, meta = convert_resnet_encoder(exported)
+    flat1 = {jax.tree_util.keystr(p): v for p, v in
+             jax.tree_util.tree_leaves_with_path(enc_vars)}
+    flat2 = {jax.tree_util.keystr(p): v for p, v in
+             jax.tree_util.tree_leaves_with_path(reconv)}
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_array_equal(np.asarray(flat1[k]),
+                                      np.asarray(flat2[k]))
+
+    dec_exported = export_depth_decoder(dec_vars)
+    assert set(dec_exported) == set(
+        k for k in dec_oracle.state_dict().keys())
