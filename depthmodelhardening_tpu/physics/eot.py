@@ -1,0 +1,310 @@
+"""Expectation-over-Transformation (EoT) physical patch compositor.
+
+Fully on-device, jit/vmap-compatible re-design of the reference's mixed
+numpy/torchvision pipeline (physicalTrans.py:11-196):
+
+  1. A vehicle-mounted textured quad (W=1.82m, H=1.6m, camera at 1.65m,
+     physicalTrans.py:41-48) is placed at sampled distance z0 and yaw
+     alpha; its 4 corners are projected through KITTI calibration (P2) or
+     Monodepth2-style normalized intrinsics (physicalTrans.py:62-105).
+     Corner pixel coords are truncated to integers, replicating the
+     reference's astype(np.int32) placement quantization
+     (physicalTrans.py:75, 186).
+  2. An 8-DoF homography mapping the projected quad back to the object's
+     resting box is solved in closed form (the same system torchvision's
+     perspective() solves) and the object+mask are inverse-warped with
+     zero-filled bilinear sampling at scene resolution.
+  3. The warped object is alpha-composited: scene*(1-m) + obj*m.
+
+TPU-first differences from the reference (outputs are identical):
+  * Instead of zero-padding the object to scene size and warping the
+    padded image (physicalTrans.py:107-123), we translate the homography
+    by the pad offset and sample the *unpadded* object with zero fill —
+    bilinear zeros outside the object box are exactly the pad zeros.
+  * Object + mask warp in one sampling pass (channel concat).
+  * All control flow is static; (z0, alpha) are traced scalars, so the
+    whole EoT->composite->resize->model chain stays inside one XLA
+    computation per attack step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import bilinear_sample_pixels
+
+_F32 = jax.lax.Precision.HIGHEST
+
+ORI_H = 375
+ORI_W = 1242
+
+# Vehicle quad geometry, physicalTrans.py:35-48 (BMW defaults).
+VEH_W = 1.82
+VEH_H = 1.6
+CAM_H = 1.65
+
+# Object catalogue (physicalTrans.py:35-40): name -> (height_m, width_m).
+VEHICLE_SIZES = {
+    "BMW": (1.6, 1.82),
+    "Sedan": (1.43, 1.78),
+    "Subaru": (1.49, 1.83),
+    "Truck": (3.0, 2.5),
+    "SUV": (1.77, 2.00),
+    "TrafficBarrier": (0.75, 1.5),
+}
+
+
+def monodepth2_K(width: int = ORI_W, height: int = ORI_H) -> np.ndarray:
+    """The normalized Monodepth2 intrinsics scaled to a resolution
+    (mono_dataset.py:170-175)."""
+    K = np.array([[0.58, 0, 0.5, 0],
+                  [0, 1.92, 0.5, 0],
+                  [0, 0, 1, 0],
+                  [0, 0, 0, 1]], dtype=np.float32)
+    K[0, :] *= width
+    K[1, :] *= height
+    return K
+
+
+def quad_corners_world(z0, alpha_deg, veh_w=VEH_W, veh_h=VEH_H,
+                       cam_h=CAM_H):
+    """Vehicle quad corners in rect-camera coords, order [tl, tr, br, bl].
+
+    physicalTrans.py:83-105: quad centered at x=0, y = cam_h - veh_h/2,
+    yawed by alpha around the vertical axis.
+    """
+    alpha = jnp.deg2rad(alpha_deg)
+    x0 = 0.0
+    y0 = cam_h - veh_h / 2.0
+    x_off = jnp.cos(alpha) * veh_w / 2.0
+    z_off = jnp.sin(alpha) * veh_w / 2.0
+    x1, x2 = x0 - x_off, x0 + x_off
+    zl, zr = z0 - z_off, z0 + z_off
+    y1, y2 = y0 - veh_h / 2.0, y0 + veh_h / 2.0
+    return jnp.stack([
+        jnp.stack([x1, y1, zl]),
+        jnp.stack([x2, y1, zr]),
+        jnp.stack([x2, y2, zr]),
+        jnp.stack([x1, y2, zl]),
+    ])  # (4, 3)
+
+
+def project_corners(world_corners, P, eps: float = 1e-7):
+    """(4,3) rect-cam corners -> (4,2) integer-truncated pixel coords.
+
+    P: (3,4) projection (K[:3,:] or K@T[:3,:] or calib P2). The int32
+    truncation replicates physicalTrans.py:75/186.
+    """
+    ones = jnp.ones((4, 1), world_corners.dtype)
+    pts = jnp.concatenate([world_corners, ones], axis=1)  # (4, 4)
+    cam = jnp.matmul(pts, P.T, precision=_F32)  # (4, 3)
+    pix = cam[:, :2] / (cam[:, 2:3] + eps)
+    return jnp.trunc(pix)
+
+
+def solve_homography(endpoints, startpoints):
+    """Solve the 8-DoF map sending endpoint pixels -> startpoint pixels.
+
+    Same linear system torchvision's perspective() solves: for output
+    pixel (x, y) (endpoint frame), source = ((ax+by+c)/(gx+hy+1),
+    (dx+ey+f)/(gx+hy+1)). endpoints/startpoints: (4, 2) [x, y].
+    Returns coeffs (8,) = [a, b, c, d, e, f, g, h].
+    """
+    e = endpoints.astype(jnp.float32)
+    s = startpoints.astype(jnp.float32)
+    zeros = jnp.zeros((4,), jnp.float32)
+    ones = jnp.ones((4,), jnp.float32)
+    rows_x = jnp.stack([e[:, 0], e[:, 1], ones, zeros, zeros, zeros,
+                        -s[:, 0] * e[:, 0], -s[:, 0] * e[:, 1]], axis=1)
+    rows_y = jnp.stack([zeros, zeros, zeros, e[:, 0], e[:, 1], ones,
+                        -s[:, 1] * e[:, 0], -s[:, 1] * e[:, 1]], axis=1)
+    A = jnp.concatenate([rows_x, rows_y], axis=0)  # (8, 8)
+    b = jnp.concatenate([s[:, 0], s[:, 1]], axis=0)  # (8,)
+    return jnp.linalg.solve(A, b)
+
+
+def perspective_src_coords(coeffs, out_h: int, out_w: int):
+    """Source pixel coords for each output pixel, torchvision convention.
+
+    torchvision applies the homography to output pixel *centers* (x+0.5,
+    y+0.5) and samples grid_sample(align_corners=False), which equals
+    sampling input pixel coords (Hx - 0.5, Hy - 0.5).
+    Returns (sx, sy), each (out_h, out_w) float32.
+    """
+    a, b, c, d, e, f, g, h = [coeffs[i] for i in range(8)]
+    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
+    x = xs[None, :]
+    y = ys[:, None]
+    denom = g * x + h * y + 1.0
+    sx = (a * x + b * y + c) / denom - 0.5
+    sy = (d * x + e * y + f) / denom - 0.5
+    return jnp.broadcast_to(sx, (out_h, out_w)), \
+        jnp.broadcast_to(sy, (out_h, out_w))
+
+
+def perspective_warp(img, startpoints, endpoints, out_hw: Tuple[int, int]):
+    """Warp img so that startpoints land on endpoints (zero fill).
+
+    img: (B, H, W, C); startpoints/endpoints: (4, 2) (shared across batch)
+    or (B, 4, 2). Output: (B, out_h, out_w, C). Matches
+    torchvision.transforms.functional.perspective bilinear+fill=0.
+    """
+    out_h, out_w = out_hw
+
+    def one(img_b, sp, ep):
+        coeffs = solve_homography(ep, sp)
+        sx, sy = perspective_src_coords(coeffs, out_h, out_w)
+        return bilinear_sample_pixels(img_b[None], sx[None], sy[None],
+                                      padding_mode="zeros")[0]
+
+    if startpoints.ndim == 2:
+        startpoints = jnp.broadcast_to(startpoints,
+                                       (img.shape[0],) + startpoints.shape)
+    if endpoints.ndim == 2:
+        endpoints = jnp.broadcast_to(endpoints,
+                                     (img.shape[0],) + endpoints.shape)
+    return jax.vmap(one)(img, startpoints, endpoints)
+
+
+@dataclasses.dataclass(frozen=True)
+class EoTConfig:
+    """Static EoT configuration (compile-time constants)."""
+
+    obj_h: int
+    obj_w: int
+    scene_h: int = ORI_H
+    scene_w: int = ORI_W
+    veh_w: float = VEH_W
+    veh_h: float = VEH_H
+    cam_h: float = CAM_H
+    # projection: (3,4) numpy array — K[:3,:] (Monodepth2) or calib P2.
+    projection: Optional[np.ndarray] = None
+    proj_eps: float = 1e-7
+
+    def resolved_projection(self) -> np.ndarray:
+        if self.projection is not None:
+            return np.asarray(self.projection, np.float32).reshape(3, 4)
+        from .calibration import Calibration
+
+        return Calibration.default().P.astype(np.float32)
+
+
+class EoTCompositor:
+    """Batched on-device EoT projector/compositor.
+
+    Replaces PhysicalTrans (physicalTrans.py:11-196). The object's resting
+    box ("startpoints") corresponds to the centered zero-padding the
+    reference applies (physicalTrans.py:107-123).
+    """
+
+    def __init__(self, cfg: EoTConfig):
+        self.cfg = cfg
+        l_pad = (cfg.scene_w - cfg.obj_w) // 2
+        t_pad = (cfg.scene_h - cfg.obj_h) // 2
+        # [tl, tr, br, bl] of the object box in the padded scene frame.
+        self.startpoints = np.array([
+            [l_pad, t_pad],
+            [l_pad + cfg.obj_w, t_pad],
+            [l_pad + cfg.obj_w, t_pad + cfg.obj_h],
+            [l_pad, t_pad + cfg.obj_h],
+        ], dtype=np.float32)
+        # Warping the unpadded object == warping the padded scene-size
+        # object with startpoints shifted to the object's own frame.
+        self.startpoints_local = self.startpoints - np.array(
+            [[l_pad, t_pad]], dtype=np.float32)
+        self.P = jnp.asarray(cfg.resolved_projection())
+
+    # -- geometry ------------------------------------------------------------
+    def corners(self, z0, alpha_deg, T: Optional[jnp.ndarray] = None):
+        """Projected (4,2) integer-truncated pixel corners for one sample.
+
+        T: optional (4,4) extrinsic applied before projection
+        (physicalTrans.py:168-196, stereo other-eye placement).
+        """
+        world = quad_corners_world(z0, alpha_deg, self.cfg.veh_w,
+                                   self.cfg.veh_h, self.cfg.cam_h)
+        P = self.P
+        if T is not None:
+            # P' = K @ T for the K-path; for calib P2 the reference
+            # multiplies T into the points instead — same composition.
+            P4 = jnp.concatenate(
+                [P, jnp.asarray([[0., 0., 0., 1.]], P.dtype)], axis=0)
+            P = jnp.matmul(P4, T, precision=_F32)[:3, :]
+        return project_corners(world, P, self.cfg.proj_eps)
+
+    # -- warping -------------------------------------------------------------
+    def warp_obj_mask(self, obj, mask, z0s, alphas,
+                      T: Optional[jnp.ndarray] = None):
+        """Project object+mask into the scene for a batch of (z0, alpha).
+
+        obj: (1 or B, obj_h, obj_w, C); mask: (1 or B, obj_h, obj_w, 1).
+        z0s/alphas: (B,). Returns (obj_scene (B,H,W,C), mask_scene
+        (B,H,W,1)).
+        """
+        B = z0s.shape[0]
+        C = obj.shape[-1]
+        stacked = jnp.concatenate(
+            [jnp.broadcast_to(obj, (B,) + obj.shape[1:]),
+             jnp.broadcast_to(mask, (B,) + mask.shape[1:])], axis=-1)
+
+        out_hw = (self.cfg.scene_h, self.cfg.scene_w)
+
+        def one(img_b, z0, alpha):
+            ep = self.corners(z0, alpha, T)
+            coeffs = solve_homography(ep, jnp.asarray(self.startpoints))
+            sx, sy = perspective_src_coords(coeffs, *out_hw)
+            # shift into the unpadded object frame (pad-free warp)
+            l_pad = self.startpoints[0, 0]
+            t_pad = self.startpoints[0, 1]
+            return bilinear_sample_pixels(
+                img_b[None], (sx - l_pad)[None], (sy - t_pad)[None],
+                padding_mode="zeros")[0]
+
+        warped = jax.vmap(one)(stacked, z0s, alphas)
+        return warped[..., :C], warped[..., C:]
+
+    def composite(self, scenes, obj_scene, mask_scene):
+        """scene*(1-m) + obj*m (phy_obj_atk.py:88)."""
+        return scenes * (1.0 - mask_scene) + obj_scene * mask_scene
+
+    def project_and_composite(self, scenes, obj, mask, z0s, alphas,
+                              T: Optional[jnp.ndarray] = None,
+                              mask_override=None):
+        """Full EoT step. When mask_override is given, composite uses it
+        (the reference composites the benign texture with the *adversarial*
+        pass' masks — phy_obj_atk.py:118-119)."""
+        obj_s, mask_s = self.warp_obj_mask(obj, mask, z0s, alphas, T)
+        m = mask_s if mask_override is None else mask_override
+        return self.composite(scenes, obj_s, m), mask_s
+
+
+def sample_za(rng, dist_range, angle_range, batch: int):
+    """Sample (z0, alpha) batches without replacement (random.sample
+    semantics in phy_obj_atk.py:108-109)."""
+    kz, ka = jax.random.split(rng)
+    z = jax.random.choice(kz, jnp.asarray(dist_range, jnp.float32),
+                          shape=(batch,), replace=False)
+    a = jax.random.choice(ka, jnp.asarray(angle_range, jnp.float32),
+                          shape=(batch,), replace=False)
+    return z, a
+
+
+# Default sampling ranges (my_utils.py:14, physicalTrans.py:13).
+TRAIN_DIST_RANGE = np.arange(5, 10, 0.2, dtype=np.float32)
+EVAL_DIST_RANGE = np.arange(5, 31, 2, dtype=np.float32)
+ANGLE_RANGE = np.arange(-30, 31, 5, dtype=np.float32)
+
+
+def stereo_T(baseline: float = 0.54, side: str = "l") -> np.ndarray:
+    """Stereo extrinsic used for other-eye placement
+    (mono_dataset.py:112-117)."""
+    T = np.eye(4, dtype=np.float32)
+    side_sign = -1.0 if side == "l" else 1.0
+    T[0, 3] = side_sign * baseline
+    return T
