@@ -172,7 +172,7 @@ def test_calibration_roundtrips():
     pts = RNG.rand(10, 3) * np.array([5, 2, 30]) + np.array([-2, -1, 5])
     back = calib.rect_to_velo(pts)
     again = calib.velo_to_rect(back)
-    np.testing.assert_allclose(again, pts, atol=1e-9)
+    np.testing.assert_allclose(again, pts, atol=1e-6)
 
     uv = calib.rect_to_image(pts)
     rect = calib.image_to_rect(
