@@ -1,0 +1,173 @@
+"""Shared machinery for physical-object depth attacks.
+
+Reference: torchattacks/attack.py:5-320 (base class) plus the common
+pattern of the Phy_obj_atk* family (e.g. phy_obj_atk.py:59-123):
+
+  1. replicate a single 1242x375 scene to the attack batch (or accept a
+     full batch),
+  2. run an optimization loop over the object texture, each step
+     re-projecting with fresh EoT samples, compositing, resizing to
+     1024x320 and differentiating a targeted zero-disparity MSE masked by
+     the object,
+  3. produce final (adv_scenes, ben_scenes, obj_masks, obj_img_adv) with
+     one last EoT sample — pinned to (z0, alpha) = (7 or 6.1, 0) for
+     sample 0 in eval mode — where the *benign* composite reuses the
+     adversarial projection's masks (phy_obj_atk.py:114-121).
+
+TPU design: the whole loop is a single jitted computation (lax.fori_loop /
+lax.while_loop); the model is applied with BatchNorm running statistics
+(the reference forces eval() during attacks, attack.py:296-320). Model
+variables are traced arguments so hardening can re-attack with fresh
+parameters without recompiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import bilinear_resize
+from ..physics.calibration import Calibration
+from ..physics.eot import (
+    ANGLE_RANGE, EVAL_DIST_RANGE, EoTCompositor, EoTConfig, ORI_H, ORI_W,
+)
+
+SCENE_H, SCENE_W = 320, 1024  # model input (phy_obj_atk.py:50)
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysObjAttackConfig:
+    """Static attack configuration shared by the family."""
+
+    obj_h: int
+    obj_w: int
+    dist_range: Tuple[float, ...] = tuple(float(x) for x in EVAL_DIST_RANGE)
+    angle_range: Tuple[float, ...] = tuple(float(x) for x in ANGLE_RANGE)
+    eval_pin_z0: float = 7.0  # 6.1 for the L0 attack (phy_obj_atk_l0.py:162)
+    eval_pin_alpha: float = 0.0
+    scene_h: int = SCENE_H
+    scene_w: int = SCENE_W
+    ori_h: int = ORI_H
+    ori_w: int = ORI_W
+    projection: Optional[np.ndarray] = None  # default: KITTI calib P2
+
+    def make_eot(self) -> EoTCompositor:
+        P = self.projection
+        if P is None:
+            # The attack family projects through the dataset calibration
+            # (phy_obj_atk.py:53-56), which divides without epsilon
+            # (kitti_util.py:139-147).
+            P = Calibration.default().P.astype(np.float32)
+            eps = 0.0
+        else:
+            eps = 1e-7
+        return EoTCompositor(EoTConfig(
+            obj_h=self.obj_h, obj_w=self.obj_w, scene_h=self.ori_h,
+            scene_w=self.ori_w, projection=np.asarray(P, np.float32),
+            proj_eps=eps))
+
+
+class PhysObjAttack:
+    """Base class; subclasses implement `_optimize(...)`.
+
+    Usage:
+        atk = SomeAttack(predict_fn, obj_img, obj_mask, cfg, ...)
+        adv, ben, masks, obj_adv = atk(variables, scenes, batch, rng,
+                                       eval_mode=False)
+
+    predict_fn(variables, images_1024x320_nhwc) -> disp (B, 320, 1024, 1),
+    always eval-mode (running BN stats).
+    """
+
+    def __init__(self, predict_fn: Callable, obj_img, obj_mask,
+                 cfg: PhysObjAttackConfig):
+        self.predict_fn = predict_fn
+        self.obj_img = jnp.asarray(obj_img)
+        self.obj_mask = jnp.asarray(obj_mask)
+        self.cfg = cfg
+        self.eot = cfg.make_eot()
+        self._jitted = {}
+
+    # -- common pieces --------------------------------------------------------
+    def _replicate(self, scenes, batch_size: int):
+        if scenes.shape[0] == 1:
+            return jnp.broadcast_to(
+                scenes, (batch_size,) + scenes.shape[1:])
+        if scenes.shape[0] != batch_size:
+            raise ValueError("Batch size doesn't match!")
+        return scenes
+
+    def _sample_za(self, rng, batch: int):
+        kz, ka = jax.random.split(rng)
+        z = jax.random.choice(
+            kz, jnp.asarray(self.cfg.dist_range, jnp.float32),
+            shape=(batch,), replace=False)
+        a = jax.random.choice(
+            ka, jnp.asarray(self.cfg.angle_range, jnp.float32),
+            shape=(batch,), replace=False)
+        return z, a
+
+    def _model_view(self, scenes_full, obj_adv, z0s, alphas):
+        """One EoT step: composite at 1242x375, resize to model input.
+        Returns (adv_scenes_1024x320, masks_1024x320)."""
+        adv_full, mask_full = self.eot.project_and_composite(
+            scenes_full, obj_adv, self.obj_mask, z0s, alphas)
+        adv = bilinear_resize(adv_full, self.cfg.scene_h, self.cfg.scene_w)
+        mask = bilinear_resize(mask_full, self.cfg.scene_h, self.cfg.scene_w)
+        return adv, mask
+
+    def _targeted_cost(self, variables, adv_scenes, masks):
+        """Targeted zero-disparity MSE inside the object mask
+        (phy_obj_atk.py:94): mean((disp * mask)^2)."""
+        disp = self.predict_fn(variables, adv_scenes)
+        return jnp.mean((disp * masks) ** 2)
+
+    def _final_outputs(self, scenes_full, obj_adv, rng, eval_mode: bool):
+        """Final projection with pinned eval sample; benign composite uses
+        the adversarial masks (phy_obj_atk.py:114-121)."""
+        batch = scenes_full.shape[0]
+        z0s, alphas = self._sample_za(rng, batch)
+        if eval_mode:
+            z0s = z0s.at[0].set(self.cfg.eval_pin_z0)
+            alphas = alphas.at[0].set(self.cfg.eval_pin_alpha)
+
+        obj_adv_s, mask_s = self.eot.warp_obj_mask(
+            obj_adv, self.obj_mask, z0s, alphas)
+        obj_ben_s, _ = self.eot.warp_obj_mask(
+            self.obj_img, self.obj_mask, z0s, alphas)
+
+        adv_full = self.eot.composite(scenes_full, obj_adv_s, mask_s)
+        ben_full = self.eot.composite(scenes_full, obj_ben_s, mask_s)
+
+        adv = bilinear_resize(adv_full, self.cfg.scene_h, self.cfg.scene_w)
+        ben = bilinear_resize(ben_full, self.cfg.scene_h, self.cfg.scene_w)
+        masks = bilinear_resize(mask_s, self.cfg.scene_h, self.cfg.scene_w)
+        return adv, ben, masks
+
+    # -- subclass hook ---------------------------------------------------------
+    def _optimize(self, variables, scenes_full, rng):
+        """Returns the optimized adversarial object texture (1,h,w,3)."""
+        raise NotImplementedError
+
+    # -- entry -----------------------------------------------------------------
+    def _run(self, variables, scenes, rng, batch_size: int,
+             eval_mode: bool):
+        scenes_full = self._replicate(scenes, batch_size)
+        k_opt, k_final = jax.random.split(rng)
+        obj_adv = self._optimize(variables, scenes_full, k_opt)
+        adv, ben, masks = self._final_outputs(scenes_full, obj_adv,
+                                              k_final, eval_mode)
+        return adv, ben, masks, obj_adv
+
+    def __call__(self, variables, scenes, batch_size: int, rng,
+                 eval_mode: bool = False):
+        key = (batch_size, eval_mode, scenes.shape)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(functools.partial(
+                self._run, batch_size=batch_size, eval_mode=eval_mode))
+        return self._jitted[key](variables, scenes, rng)

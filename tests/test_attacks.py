@@ -1,0 +1,141 @@
+"""Attack-layer tests: the attacks run on-device, respect their norm
+constraints, and actually increase the targeted depth error."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from depthmodelhardening_tpu.attacks import (
+    PGDImageAttack, PGDObjectAttack, L0ObjectAttack, PhysObjAttackConfig,
+    default_l0_config,
+)
+from depthmodelhardening_tpu.data.synthetic import make_car_object, make_scene
+from depthmodelhardening_tpu.models import MonodepthModel
+
+OBJ_H, OBJ_W = 40, 60
+
+
+class TinyDepthNet:
+    """A tiny conv depth net standing in for Monodepth2 in attack tests
+    (full ResNet18 at 1024x320 is too slow for CPU CI)."""
+
+    def __init__(self, rng):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                h = nn.Conv(8, (3, 3), strides=2, padding=1)(x)
+                h = nn.relu(h)
+                h = nn.Conv(8, (3, 3), padding=1)(h)
+                h = nn.relu(h)
+                h = nn.ConvTranspose(4, (4, 4), strides=(2, 2))(h)
+                return nn.sigmoid(nn.Conv(1, (3, 3), padding=1)(h))
+
+        self.net = Net()
+        self.variables = self.net.init(rng, jnp.zeros((1, 64, 64, 3)))
+
+    def predict(self, variables, images):
+        return self.net.apply(variables, images)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return TinyDepthNet(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    # small EoT scene for CPU tests
+    return PhysObjAttackConfig(obj_h=OBJ_H, obj_w=OBJ_W, scene_h=96,
+                               scene_w=320, ori_h=375, ori_w=1242)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return jnp.asarray(make_scene(1, 375, 1242, seed=1))
+
+
+@pytest.fixture(scope="module")
+def obj_and_mask():
+    obj, mask = make_car_object(width=OBJ_W, height=OBJ_H)
+    return jnp.asarray(obj), jnp.asarray(mask)
+
+
+def test_pgd_image_attack(tiny):
+    images = jnp.asarray(make_scene(2, 96, 320, seed=2))
+    atk = PGDImageAttack(tiny.predict, eps=0.1, alpha=0.02, steps=4,
+                         scene_hw=(96, 320))
+    adv, ben = atk(tiny.variables, images, jax.random.PRNGKey(1))
+    adv, ben = np.asarray(adv), np.asarray(ben)
+    assert adv.shape == ben.shape == (2, 96, 320, 3)
+    assert np.abs(adv - ben).max() <= 0.1 + 1e-5
+    assert adv.min() >= 0 and adv.max() <= 1
+    # attack moved the prediction toward zero disparity
+    d_ben = float(jnp.mean(tiny.predict(tiny.variables, jnp.asarray(ben)) ** 2))
+    d_adv = float(jnp.mean(tiny.predict(tiny.variables, jnp.asarray(adv)) ** 2))
+    assert d_adv < d_ben
+
+
+def test_pgd_object_attack(tiny, small_cfg, scene, obj_and_mask):
+    obj, mask = obj_and_mask
+    atk = PGDObjectAttack(tiny.predict, obj, mask, small_cfg, eps=0.1,
+                          alpha=0.03, steps=3)
+    adv, ben, masks, obj_adv = atk(tiny.variables, scene, 2,
+                                   jax.random.PRNGKey(2))
+    assert adv.shape == (2, 96, 320, 3)
+    assert masks.shape == (2, 96, 320, 1)
+    assert obj_adv.shape == obj.shape
+    # L_inf constraint on the texture
+    assert float(jnp.abs(obj_adv - obj).max()) <= 0.1 + 1e-5
+    assert float(obj_adv.min()) >= 0 and float(obj_adv.max()) <= 1
+    # adv and ben differ only where the object mask is
+    diff = np.abs(np.asarray(adv) - np.asarray(ben)).sum(-1)
+    m = np.asarray(masks)[..., 0]
+    assert (diff[m == 0] < 1e-4).all()
+    assert diff[m > 0.5].sum() > 0
+
+
+def test_pgd_object_eval_pins_first_sample(tiny, small_cfg, scene,
+                                           obj_and_mask):
+    obj, mask = obj_and_mask
+    atk = PGDObjectAttack(tiny.predict, obj, mask, small_cfg, eps=0.05,
+                          alpha=0.02, steps=1)
+    outs = [atk(tiny.variables, scene, 2, jax.random.PRNGKey(s),
+                eval_mode=True)[2] for s in (3, 4)]
+    # sample 0 pinned at (z0=7, alpha=0) -> identical masks across rngs
+    m0a, m0b = np.asarray(outs[0])[0], np.asarray(outs[1])[0]
+    np.testing.assert_allclose(m0a, m0b, atol=1e-6)
+
+
+def test_l0_object_attack(tiny, scene, obj_and_mask):
+    obj, mask = obj_and_mask
+    cfg = default_l0_config(OBJ_H, OBJ_W)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, scene_h=96, scene_w=320)
+    atk = L0ObjectAttack(tiny.predict, obj, mask, cfg, adam_lr=0.5,
+                         steps=2, mask_wt=0.06, l0_thresh=0.1)
+    adv, ben, masks, obj_adv = atk(tiny.variables, scene, 2,
+                                   jax.random.PRNGKey(5))
+    assert adv.shape == (2, 96, 320, 3)
+    assert cfg.eval_pin_z0 == 6.1
+    obj_adv = np.asarray(obj_adv)
+    assert obj_adv.min() >= 0 and obj_adv.max() <= 1
+    # pattern has been thresholded: any per-channel change is 0 or >=1/255
+    delta = np.abs(obj_adv - np.asarray(obj))
+    changed = delta[delta > 0]
+    assert changed.size == 0 or changed.min() >= 1 / 255 - 1e-6
+
+
+def test_l0_cal_l0_counts_pixels(tiny, obj_and_mask):
+    obj, mask = obj_and_mask
+    cfg = default_l0_config(OBJ_H, OBJ_W)
+    atk = L0ObjectAttack(tiny.predict, obj, mask, cfg)
+    pos = jnp.zeros((1, OBJ_H, OBJ_W, 3))
+    neg = jnp.zeros((1, OBJ_H, OBJ_W, 3))
+    pos = pos.at[0, 0, 0, 0].set(0.5)   # one pixel above threshold
+    pos = pos.at[0, 1, 1, 1].set(1e-4)  # below threshold -> not counted
+    assert float(atk._cal_l0(pos, neg)) == 1.0
