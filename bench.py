@@ -1,0 +1,86 @@
+"""Headline benchmark: PGD-k adversarial-training step throughput.
+
+Measures BASELINE.json config 3 — the full adversarial-training step of
+simple_adv_training.py (PGD L-inf object attack, 10 inner fwd+bwd steps,
+plus teacher forward + student fwd/bwd + Adam) at 1024x320, batch 32 —
+as one fused on-device XLA computation, and prints ONE JSON line.
+
+vs_baseline: the reference implementation has no published throughput
+numbers (BASELINE.json "published": {}). We compare against an analytic
+A100-PyTorch estimate of 30 imgs/sec for the same step: ~75 GFLOP per
+image per PGD fwd+bwd at 1024x320 (ResNet-18 encoder + UNet decoder),
+x11 attack+train passes ~= 0.9 TFLOP/img, at ~35% TF32 utilization minus
+the reference's measured-in-design host round trips (GPU attack -> CPU
+EoT compositing in DataLoader workers each step, mono_dataset.py:178-265).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: the fused PGD-10 step is a large XLA
+# program; cache it so repeat bench runs skip the multi-minute compile.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".cache_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from depthmodelhardening_tpu.data.synthetic import make_car_object, make_scene
+from depthmodelhardening_tpu.models.wrappers import (
+    init_monodepth2, predictor_from,
+)
+from depthmodelhardening_tpu.training.config import DistillConfig
+from depthmodelhardening_tpu.training.distill import DistillTrainer
+
+A100_PYTORCH_BASELINE_IMGS_PER_SEC = 30.0
+
+BATCH = 32
+H, W = 320, 1024
+ORI_H, ORI_W = 375, 1242
+
+
+def main():
+    rng = jax.random.PRNGKey(0)
+    teacher_model, teacher_vars = init_monodepth2(rng, H, W,
+                                                  dtype=jnp.bfloat16)
+    teacher = predictor_from(teacher_model, teacher_vars)
+
+    obj, mask = make_car_object(300, 200, seed=0)
+    cfg = DistillConfig(adv_type="object", epsilon=0.1, alpha=0.005,
+                        steps=10, batch_size=BATCH,
+                        scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
+                        compute_dtype="bfloat16")
+    trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
+                             teacher)
+    state = trainer.make_state()
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+
+    # warmup / compile
+    for i in range(2):
+        state, metrics = trainer.train_step(state, scenes,
+                                            jax.random.PRNGKey(10 + i))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = trainer.train_step(state, scenes,
+                                            jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * iters / dt
+    print(json.dumps({
+        "metric": "pgd10_adv_train_step_1024x320",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(
+            imgs_per_sec / A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

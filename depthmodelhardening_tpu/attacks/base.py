@@ -103,13 +103,17 @@ class PhysObjAttack:
         return scenes
 
     def _sample_za(self, rng, batch: int):
+        """random.sample semantics (phy_obj_atk.py:108-109) — without
+        replacement while the batch fits the population (the reference
+        crashes beyond it; we degrade to with-replacement so batches
+        larger than the 13-value ranges still work)."""
         kz, ka = jax.random.split(rng)
-        z = jax.random.choice(
-            kz, jnp.asarray(self.cfg.dist_range, jnp.float32),
-            shape=(batch,), replace=False)
-        a = jax.random.choice(
-            ka, jnp.asarray(self.cfg.angle_range, jnp.float32),
-            shape=(batch,), replace=False)
+        dist = jnp.asarray(self.cfg.dist_range, jnp.float32)
+        ang = jnp.asarray(self.cfg.angle_range, jnp.float32)
+        z = jax.random.choice(kz, dist, shape=(batch,),
+                              replace=batch > dist.shape[0])
+        a = jax.random.choice(ka, ang, shape=(batch,),
+                              replace=batch > ang.shape[0])
         return z, a
 
     def _model_view(self, scenes_full, obj_adv, z0s, alphas):
@@ -127,11 +131,17 @@ class PhysObjAttack:
         disp = self.predict_fn(variables, adv_scenes)
         return jnp.mean((disp * masks) ** 2)
 
+    def _final_za(self, rng, batch: int):
+        """EoT sample for the final composites; subclasses with bespoke
+        final sampling (e.g. the arbitrary-pattern attack's linspace
+        distances, phy_obj_atk_arbi.py:91-92) override this."""
+        return self._sample_za(rng, batch)
+
     def _final_outputs(self, scenes_full, obj_adv, rng, eval_mode: bool):
         """Final projection with pinned eval sample; benign composite uses
         the adversarial masks (phy_obj_atk.py:114-121)."""
         batch = scenes_full.shape[0]
-        z0s, alphas = self._sample_za(rng, batch)
+        z0s, alphas = self._final_za(rng, batch)
         if eval_mode:
             z0s = z0s.at[0].set(self.cfg.eval_pin_z0)
             alphas = alphas.at[0].set(self.cfg.eval_pin_alpha)

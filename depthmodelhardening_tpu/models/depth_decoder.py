@@ -11,7 +11,7 @@ Module names mirror the torch decoder ModuleList ordering via explicit
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,22 +25,25 @@ class Conv3x3(nn.Module):
     """Reflection-pad(1) + 3x3 valid conv (layers.py:121-136)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         return nn.Conv(self.features, (3, 3), padding="VALID",
-                       name="conv")(x)
+                       dtype=self.dtype, name="conv")(x)
 
 
 class ConvBlock(nn.Module):
     """Conv3x3 + ELU (layers.py:106-118)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.elu(Conv3x3(self.features, name="conv")(x))
+        return nn.elu(Conv3x3(self.features, dtype=self.dtype,
+                              name="conv")(x))
 
 
 class DepthDecoder(nn.Module):
@@ -52,21 +55,26 @@ class DepthDecoder(nn.Module):
     scales: Sequence[int] = (0, 1, 2, 3)
     num_output_channels: int = 1
     use_skips: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, input_features) -> Dict[Tuple[str, int], jnp.ndarray]:
         outputs = {}
-        x = input_features[-1]
+        x = input_features[-1].astype(self.dtype)
         for i in range(4, -1, -1):
-            x = ConvBlock(NUM_CH_DEC[i], name=f"upconv_{i}_0")(x)
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_0")(x)
             x = nearest_upsample2(x)
             if self.use_skips and i > 0:
-                x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
-            x = ConvBlock(NUM_CH_DEC[i], name=f"upconv_{i}_1")(x)
+                x = jnp.concatenate(
+                    [x, input_features[i - 1].astype(self.dtype)], axis=-1)
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_1")(x)
             if i in self.scales:
-                disp = Conv3x3(self.num_output_channels,
+                disp = Conv3x3(self.num_output_channels, dtype=self.dtype,
                                name=f"dispconv_{i}")(x)
-                outputs[("disp", i)] = nn.sigmoid(disp)
+                # disparities feed losses/geometry: keep them f32
+                outputs[("disp", i)] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs
 
 

@@ -18,14 +18,14 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
-def _bn(name: str):
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
+def _bn(name: str, dtype=jnp.float32):
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
 
 
 class BasicBlock(nn.Module):
@@ -34,23 +34,25 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     project: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         y = nn.Conv(self.features, (3, 3), strides=self.strides,
                     padding=((1, 1), (1, 1)), use_bias=False,
-                    name="conv1")(x)
-        y = _bn("bn1")(y, use_running_average=not train)
+                    dtype=self.dtype, name="conv1")(x)
+        y = _bn("bn1", self.dtype)(y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=1,
                     padding=((1, 1), (1, 1)), use_bias=False,
-                    name="conv2")(y)
-        y = _bn("bn2")(y, use_running_average=not train)
+                    dtype=self.dtype, name="conv2")(y)
+        y = _bn("bn2", self.dtype)(y, use_running_average=not train)
         if self.project:
             identity = nn.Conv(self.features, (1, 1), strides=self.strides,
-                               use_bias=False, name="downsample_0")(x)
-            identity = _bn("downsample_1")(
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_0")(x)
+            identity = _bn("downsample_1", self.dtype)(
                 identity, use_running_average=not train)
         return nn.relu(y + identity)
 
@@ -62,26 +64,28 @@ class Bottleneck(nn.Module):
     strides: int = 1
     project: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        y = _bn("bn1")(y, use_running_average=not train)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = _bn("bn1", self.dtype)(y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=self.strides,
                     padding=((1, 1), (1, 1)), use_bias=False,
-                    name="conv2")(y)
-        y = _bn("bn2")(y, use_running_average=not train)
+                    dtype=self.dtype, name="conv2")(y)
+        y = _bn("bn2", self.dtype)(y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
-                    name="conv3")(y)
-        y = _bn("bn3")(y, use_running_average=not train)
+                    dtype=self.dtype, name="conv3")(y)
+        y = _bn("bn3", self.dtype)(y, use_running_average=not train)
         if self.project:
             identity = nn.Conv(self.features * self.expansion, (1, 1),
                                strides=self.strides, use_bias=False,
-                               name="downsample_0")(x)
-            identity = _bn("downsample_1")(
+                               dtype=self.dtype, name="downsample_0")(x)
+            identity = _bn("downsample_1", self.dtype)(
                 identity, use_running_average=not train)
         return nn.relu(y + identity)
 
@@ -114,15 +118,16 @@ class ResnetEncoder(nn.Module):
 
     num_layers: int = 18
     num_input_images: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         blocks, block_cls = _STAGES[self.num_layers]
 
-        x = (x - 0.45) / 0.225
+        x = ((x - 0.45) / 0.225).astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = _bn("bn1")(x, use_running_average=not train)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _bn("bn1", self.dtype)(x, use_running_average=not train)
         f0 = nn.relu(x)
 
         x = nn.max_pool(f0, (3, 3), strides=(2, 2),
@@ -137,7 +142,7 @@ class ResnetEncoder(nn.Module):
                     if block_cls is Bottleneck else width
                 project = (b == 0) and (stride != 1 or in_features != out_width)
                 x = block_cls(width, strides=stride if b == 0 else 1,
-                              project=project,
+                              project=project, dtype=self.dtype,
                               name=f"layer{stage + 1}_{b}")(x, train=train)
                 in_features = out_width
             features.append(x)

@@ -30,8 +30,9 @@ class SimSiam(nn.Module):
     def __call__(self, features_aug, features_ben, train: bool = True):
         """Args: the two encoder feature lists (adv view, benign view).
         Returns the scalar contrastive loss."""
-        x1 = jnp.mean(features_aug[-1], axis=(1, 2))  # (B, 512) avgpool
-        x2 = jnp.mean(features_ben[-1], axis=(1, 2))
+        # avgpool (B, 512); encoder features may be bf16 — head runs f32
+        x1 = jnp.mean(features_aug[-1], axis=(1, 2)).astype(jnp.float32)
+        x2 = jnp.mean(features_ben[-1], axis=(1, 2)).astype(jnp.float32)
 
         proj_0 = nn.Dense(self.feat_dim, use_bias=False, name="projector_0")
         proj_1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="projector_1")

@@ -25,16 +25,22 @@ from .depth_decoder import DepthDecoder
 
 
 class MonodepthModel(nn.Module):
-    """encoder + depth decoder; __call__ returns full-res disparity."""
+    """encoder + depth decoder; __call__ returns full-res disparity.
+
+    dtype: compute dtype. bfloat16 is the TPU-native choice (params stay
+    float32; disparity heads are cast back to float32 before sigmoid) —
+    halves activation HBM and doubles MXU throughput.
+    """
 
     num_layers: int = 18
     scales: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
-                                     name="encoder")
+                                     dtype=self.dtype, name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
-                                    name="decoder")
+                                    dtype=self.dtype, name="decoder")
 
     def __call__(self, x, train: bool = False):
         features = self.encoder(x, train=train)
@@ -45,6 +51,10 @@ class MonodepthModel(nn.Module):
         """Returns (features, {("disp", s): ...}) for the trainer."""
         features = self.encoder(x, train=train)
         return features, self.decoder(features)
+
+    def encode(self, x, train: bool = False):
+        """Encoder-only forward (trainer.py:360-361 contrastive branch)."""
+        return self.encoder(x, train=train)
 
 
 @flax.struct.dataclass
@@ -63,14 +73,16 @@ class DepthPredictor:
 
 
 def make_monodepth2(num_layers: int = 18,
-                    scales: Sequence[int] = (0, 1, 2, 3)) -> MonodepthModel:
-    return MonodepthModel(num_layers=num_layers, scales=scales)
+                    scales: Sequence[int] = (0, 1, 2, 3),
+                    dtype=jnp.float32) -> MonodepthModel:
+    return MonodepthModel(num_layers=num_layers, scales=scales,
+                          dtype=dtype)
 
 
 def init_monodepth2(rng, height: int = 320, width: int = 1024,
-                    num_layers: int = 18):
+                    num_layers: int = 18, dtype=jnp.float32):
     """Initialize a MonodepthModel; returns (module, variables)."""
-    model = make_monodepth2(num_layers=num_layers)
+    model = make_monodepth2(num_layers=num_layers, dtype=dtype)
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     return model, variables

@@ -1,0 +1,3 @@
+from .mesh import (  # noqa: F401
+    make_mesh, batch_sharding, replicated_sharding, shard_batch, replicate,
+)

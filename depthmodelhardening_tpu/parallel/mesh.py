@@ -1,0 +1,53 @@
+"""Device-mesh and sharding helpers.
+
+The reference trains on a single hard-coded CUDA device (my_utils.py:10)
+with no distributed backend of any kind. The TPU-native equivalent is
+batch data parallelism over an ICI mesh: parameters replicated, batches
+sharded on their leading axis, gradients reduced by XLA-inserted psums.
+The adversarial-training step (attack inner loop + hardening update) is
+embarrassingly batch-parallel, so a 1-D "data" mesh covers the workload;
+the helpers still accept arbitrary mesh shapes for multi-host DCN
+layouts (data axis outer/DCN, model axis reserved for future use).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """A device mesh; default: 1-D "data" mesh over all local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place every array in a pytree with its batch dim sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (parameters / optimizer state) over the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,4 +1,7 @@
 from .calibration import Calibration, read_calib_file
+from .light import (
+    area_light, simple_add, tube_light_by_func, wavelength_to_rgb,
+)
 from .eot import (
     EoTCompositor,
     EoTConfig,

@@ -244,8 +244,8 @@ class EoTCompositor:
         """Project object+mask into the scene for a batch of (z0, alpha).
 
         obj: (1 or B, obj_h, obj_w, C); mask: (1 or B, obj_h, obj_w, 1).
-        z0s/alphas: (B,). Returns (obj_scene (B,H,W,C), mask_scene
-        (B,H,W,1)).
+        z0s/alphas: (B,). T: optional extrinsic, (4,4) shared or (B,4,4)
+        per-sample. Returns (obj_scene (B,H,W,C), mask_scene (B,H,W,1)).
         """
         B = z0s.shape[0]
         C = obj.shape[-1]
@@ -255,8 +255,8 @@ class EoTCompositor:
 
         out_hw = (self.cfg.scene_h, self.cfg.scene_w)
 
-        def one(img_b, z0, alpha):
-            ep = self.corners(z0, alpha, T)
+        def one(img_b, z0, alpha, T_b):
+            ep = self.corners(z0, alpha, T_b)
             coeffs = solve_homography(ep, jnp.asarray(self.startpoints))
             sx, sy = perspective_src_coords(coeffs, *out_hw)
             # shift into the unpadded object frame (pad-free warp)
@@ -266,7 +266,11 @@ class EoTCompositor:
                 img_b[None], (sx - l_pad)[None], (sy - t_pad)[None],
                 padding_mode="zeros")[0]
 
-        warped = jax.vmap(one)(stacked, z0s, alphas)
+        if T is not None and T.ndim == 3:
+            warped = jax.vmap(one)(stacked, z0s, alphas, T)
+        else:
+            warped = jax.vmap(
+                lambda i, z, a: one(i, z, a, T))(stacked, z0s, alphas)
         return warped[..., :C], warped[..., C:]
 
     def composite(self, scenes, obj_scene, mask_scene):
@@ -286,12 +290,15 @@ class EoTCompositor:
 
 def sample_za(rng, dist_range, angle_range, batch: int):
     """Sample (z0, alpha) batches without replacement (random.sample
-    semantics in phy_obj_atk.py:108-109)."""
+    semantics in phy_obj_atk.py:108-109); falls back to with-replacement
+    when the batch exceeds the population (the reference would raise)."""
     kz, ka = jax.random.split(rng)
-    z = jax.random.choice(kz, jnp.asarray(dist_range, jnp.float32),
-                          shape=(batch,), replace=False)
-    a = jax.random.choice(ka, jnp.asarray(angle_range, jnp.float32),
-                          shape=(batch,), replace=False)
+    dist = jnp.asarray(dist_range, jnp.float32)
+    ang = jnp.asarray(angle_range, jnp.float32)
+    z = jax.random.choice(kz, dist, shape=(batch,),
+                          replace=batch > dist.shape[0])
+    a = jax.random.choice(ka, ang, shape=(batch,),
+                          replace=batch > ang.shape[0])
     return z, a
 
 

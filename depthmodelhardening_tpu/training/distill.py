@@ -1,0 +1,143 @@
+"""Distillation-only adversarial hardening (simple_adv_training.py).
+
+Per step (simple_adv_training.py:126-141): run the configured attack
+against the *student* on a KITTI-object scene batch, take the frozen
+original model's disparity on the benign composites as pseudo ground
+truth, and train the student with MSE on the adversarial composites
+(Adam, lr 1e-4, simple_adv_training.py:115).
+
+The student runs in train mode (model_rob.train(), :125) so BatchNorm
+uses batch statistics and updates running stats; the attack and the
+teacher always run in eval mode (attack.py:296-320, :98).
+
+The whole step — attack inner loop included — is one jitted computation;
+under a mesh it is batch-parallel with replicated params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..attacks.base import PhysObjAttackConfig
+from ..attacks.l0_object import L0ObjectAttack
+from ..attacks.pgd_image import PGDImageAttack
+from ..attacks.pgd_object import PGDObjectAttack
+from ..models.wrappers import MonodepthModel
+from ..parallel.mesh import replicate, shard_batch
+from ..physics.eot import EVAL_DIST_RANGE
+from .config import DistillConfig
+
+
+@flax.struct.dataclass
+class DistillState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_attack(cfg: DistillConfig, predict_fn, obj_img, obj_mask):
+    """get_atk_model equivalent (simple_adv_training.py:38-56)."""
+    if cfg.adv_type == "image":
+        return PGDImageAttack(predict_fn, eps=cfg.epsilon,
+                              alpha=cfg.alpha, steps=cfg.steps,
+                              scene_hw=(cfg.scene_h, cfg.scene_w))
+    oh, ow = obj_img.shape[1:3]
+    atk_cfg = PhysObjAttackConfig(
+        obj_h=oh, obj_w=ow,
+        dist_range=tuple(float(x) for x in EVAL_DIST_RANGE),
+        scene_h=cfg.scene_h, scene_w=cfg.scene_w,
+        ori_h=cfg.ori_h, ori_w=cfg.ori_w,
+        eval_pin_z0=6.1 if cfg.adv_type == "object_l0" else 7.0)
+    if cfg.adv_type == "object":
+        return PGDObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,
+                               eps=cfg.epsilon, alpha=cfg.alpha,
+                               steps=cfg.steps)
+    if cfg.adv_type == "object_l0":
+        return L0ObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,
+                              adam_lr=cfg.adam_lr, steps=cfg.steps,
+                              mask_wt=cfg.mask_wt,
+                              l0_thresh=cfg.l0_thresh)
+    raise ValueError(f"unknown adv_type {cfg.adv_type}")
+
+
+class DistillTrainer:
+    """do_adv_training equivalent (simple_adv_training.py:96-156).
+
+    teacher: DepthPredictor (frozen). The student is attacked with its
+    own current parameters each step (the attack holds the student
+    module, not a snapshot — get_atk_model(model_rob), :116).
+    """
+
+    def __init__(self, cfg: DistillConfig, rng, obj_img, obj_mask,
+                 teacher, mesh=None, num_layers: int = 18,
+                 init_variables: Optional[dict] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.teacher = teacher
+        self.model = MonodepthModel(num_layers=num_layers,
+                                    dtype=jnp.dtype(cfg.compute_dtype))
+
+        def student_predict(variables, images):
+            return self.model.apply(variables, images, train=False)
+
+        self.attack = build_attack(cfg, student_predict,
+                                   jnp.asarray(obj_img),
+                                   jnp.asarray(obj_mask))
+        self.tx = optax.adam(cfg.learning_rate)
+
+        if init_variables is None:
+            dummy = jnp.zeros((1, cfg.scene_h, cfg.scene_w, 3), jnp.float32)
+            init_variables = self.model.init(rng, dummy, train=False)
+        self._variables = init_variables
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+
+    def make_state(self) -> DistillState:
+        state = DistillState(
+            params=self._variables["params"],
+            batch_stats=self._variables.get("batch_stats", {}),
+            opt_state=self.tx.init(self._variables["params"]),
+            step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    def student_variables(self, state):
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _step(self, state, scenes, rng):
+        student = self.student_variables(state)
+        if self.cfg.adv_type == "image":
+            adv, ben = self.attack._run(student, scenes, rng)
+        else:
+            adv, ben, _, _ = self.attack._run(
+                student, scenes, rng, batch_size=self.cfg.batch_size,
+                eval_mode=False)
+
+        disp_gt = jax.lax.stop_gradient(
+            self.teacher.apply_fn(self.teacher.variables, ben))
+
+        def loss_fn(params, batch_stats):
+            v = {"params": params, "batch_stats": batch_stats}
+            pred, mut = self.model.apply(v, adv, train=True,
+                                         mutable=["batch_stats"])
+            return jnp.mean((disp_gt - pred) ** 2), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = DistillState(params=new_params, batch_stats=new_bs,
+                                 opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    def train_step(self, state, scenes, rng):
+        if self.mesh is not None:
+            scenes = shard_batch(scenes, self.mesh)
+        return self._train_step(state, scenes, rng)

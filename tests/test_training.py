@@ -1,0 +1,236 @@
+"""Training-layer tests: self-supervised losses, adv synthesis, distill
+and hardening steps, and multi-device data parallelism on the virtual
+8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depthmodelhardening_tpu.data.synthetic import make_car_object, make_scene
+from depthmodelhardening_tpu.models.wrappers import (
+    init_monodepth2, predictor_from,
+)
+from depthmodelhardening_tpu.parallel.mesh import make_mesh
+from depthmodelhardening_tpu.training.adv_synth import (
+    make_synth_compositor, stereo_T_batch, synthesize_adv_batch,
+)
+from depthmodelhardening_tpu.training.config import (
+    AdvSynthConfig, DistillConfig, HardeningConfig, SelfSupConfig,
+)
+from depthmodelhardening_tpu.training.distill import DistillTrainer
+from depthmodelhardening_tpu.training.hardening import (
+    HardeningTrainer, _scaled_K,
+)
+from depthmodelhardening_tpu.training.selfsup import compute_selfsup_losses
+
+H, W = 64, 192  # model resolution (divisible by 32)
+ORI_H, ORI_W = 96, 320
+OBJ_H, OBJ_W = 24, 36
+
+
+def _small_selfsup():
+    return SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+
+
+def _batch_for_selfsup(rng, B=2, cfg=None):
+    cfg = cfg or _small_selfsup()
+    k1, k2 = jax.random.split(rng)
+    target = jax.random.uniform(k1, (B, H, W, 3))
+    other = jax.random.uniform(k2, (B, H, W, 3))
+    K, inv_K = _scaled_K(H, W)
+    side = jnp.ones((B,), bool)
+    flip = jnp.zeros((B,), bool)
+    return {
+        "color": {"0": target, "s": other},
+        "color_aug": {"0": target, "s": other},
+        "K": jnp.broadcast_to(jnp.asarray(K), (B, 4, 4)),
+        "inv_K": jnp.broadcast_to(jnp.asarray(inv_K), (B, 4, 4)),
+        "stereo_T": stereo_T_batch(side, flip),
+    }
+
+
+def test_selfsup_identical_frames_low_loss():
+    """When source == target the automask identity branch should win and
+    the reprojection part of the loss should be ~0 (uniform images also
+    have ~0 smoothness after disp normalization of a constant disp)."""
+    cfg = _small_selfsup()
+    rng = jax.random.PRNGKey(0)
+    img = jnp.broadcast_to(
+        jnp.linspace(0.2, 0.8, W, dtype=jnp.float32)[None, None, :, None],
+        (2, H, W, 3))
+    batch = _batch_for_selfsup(rng)
+    batch["color"] = {"0": img, "s": img}
+    disps = {s: jnp.full((2, H // 2 ** s, W // 2 ** s, 1), 0.5)
+             for s in cfg.scales}
+    loss, aux = compute_selfsup_losses(disps, batch, {}, rng, cfg)
+    # identity reprojection == 0, min picks it; smoothness of constant
+    # disp == 0 -> only tie-break noise remains
+    assert abs(float(loss)) < 1e-3
+
+
+def test_selfsup_loss_grads_finite():
+    cfg = _small_selfsup()
+    rng = jax.random.PRNGKey(1)
+    batch = _batch_for_selfsup(rng)
+    disps = {s: jnp.full((2, H // 2 ** s, W // 2 ** s, 1), 0.3)
+             for s in cfg.scales}
+
+    def f(d):
+        loss, _ = compute_selfsup_losses(d, batch, {}, rng, cfg)
+        return loss
+
+    g = jax.grad(f)(disps)
+    for s in cfg.scales:
+        assert np.all(np.isfinite(np.asarray(g[s])))
+
+
+def test_synthesize_adv_batch_shapes_and_consistency():
+    """Adv texture only lands on the current frame; benign composite is
+    the photometric target; untouched pixels match the raw frames."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    eot = make_synth_compositor(OBJ_H, OBJ_W, ORI_H, ORI_W)
+    ss = _small_selfsup()
+    adv_cfg = AdvSynthConfig(ori_h=ORI_H, ori_w=ORI_W)
+    B = 4
+    frames = {
+        "0": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=0)),
+        "s": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=1)),
+    }
+    obj_adv = jnp.clip(jnp.asarray(obj) + 0.2, 0, 1)
+    side = jnp.asarray([True, True, False, False])
+    flip = jnp.asarray([False, True, False, True])
+    out = synthesize_adv_batch(eot, frames, obj_adv, jnp.asarray(obj),
+                               jnp.asarray(mask), side, flip,
+                               jax.random.PRNGKey(0), ss, adv_cfg)
+    assert out["color"]["0"].shape == (B, H, W, 3)
+    assert out["color_aug"]["0"].shape == (B, H, W, 3)
+    assert out["objmask"].shape == (B, H, W, 1)
+    # target is the benign composite (mono_dataset.py:257)
+    np.testing.assert_allclose(np.asarray(out["color"]["0"]),
+                               np.asarray(out["color_ben"]))
+    # adv and ben composites differ exactly where the object sits
+    diff = np.abs(np.asarray(out["color_aug"]["0"] - out["color_ben"]))
+    m = np.asarray(out["objmask"])
+    assert diff.max() > 1e-3
+    assert diff[np.broadcast_to(m < 1e-6, diff.shape)].max() < 1e-4
+
+
+def test_stereo_T_batch_signs():
+    side = jnp.asarray([True, False, True, False])
+    flip = jnp.asarray([False, False, True, True])
+    T = np.asarray(stereo_T_batch(side, flip))
+    np.testing.assert_allclose(T[:, 0, 3], [-0.1, 0.1, 0.1, -0.1],
+                               atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def small_teacher():
+    model, variables = init_monodepth2(jax.random.PRNGKey(7), H, W)
+    return predictor_from(model, variables)
+
+
+def test_distill_step_updates_params(small_teacher):
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    cfg = DistillConfig(adv_type="object", steps=2, batch_size=2,
+                        scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W)
+    tr = DistillTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                        small_teacher)
+    state = tr.make_state()
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=5))
+    p_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, metrics = tr.train_step(state, scenes, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    p_after = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
+
+
+def test_distill_image_attack_step(small_teacher):
+    cfg = DistillConfig(adv_type="image", steps=2, batch_size=2,
+                        scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W)
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    tr = DistillTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                        small_teacher)
+    state = tr.make_state()
+    scenes = jnp.asarray(make_scene(2, ORI_H, ORI_W, seed=5))
+    state, metrics = tr.train_step(state, scenes, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def _hardening_cfg(**kw):
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+    adv = AdvSynthConfig(norm_type=kw.pop("norm_type", "l_inf"), steps=2,
+                         attack_batch_size=2, ori_h=ORI_H, ori_w=ORI_W)
+    return HardeningConfig(selfsup=ss, adv=adv, batch_size=2, **kw)
+
+
+def test_hardening_step_full_recipe(small_teacher):
+    """supervised + contrastive + photometric, l_inf texture refresh."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    cfg = _hardening_cfg()
+    tr = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                          teacher=small_teacher, steps_per_epoch=10)
+    state = tr.make_state()
+    B = 2
+    frames = {"0": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=1))}
+    side = jnp.asarray([True, False])
+    flip = jnp.asarray([False, True])
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+    state, metrics = tr.train_step(state, frames, side, flip, scenes,
+                                   jax.random.PRNGKey(3))
+    for k in ("loss", "sup_loss", "contras_loss", "selfsup_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 1
+    # second step reuses the compiled function
+    state, metrics = tr.train_step(state, frames, side, flip, scenes,
+                                   jax.random.PRNGKey(4))
+    assert int(state.step) == 2
+
+
+def test_hardening_step_mono_pose(small_teacher):
+    """Monocular frames exercise the pose-network branch."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "-1", "1", "s"))
+    adv = AdvSynthConfig(norm_type="l_inf", steps=1, attack_batch_size=2,
+                         ori_h=ORI_H, ori_w=ORI_W)
+    cfg = HardeningConfig(selfsup=ss, adv=adv, batch_size=2,
+                          contrastive_learning=False)
+    tr = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                          teacher=small_teacher, steps_per_epoch=10)
+    state = tr.make_state()
+    B = 2
+    frames = {f: jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=i))
+              for i, f in enumerate(("0", "s", "-1", "1"))}
+    side = jnp.asarray([True, False])
+    flip = jnp.asarray([False, False])
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=9))
+    state, metrics = tr.train_step(state, frames, side, flip, scenes,
+                                   jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_hardening_data_parallel_mesh(small_teacher):
+    """The same step under an 8-device mesh: params replicated, batch
+    sharded; result must be finite and the state stays replicated."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+    adv = AdvSynthConfig(norm_type="l_inf", steps=2, attack_batch_size=8,
+                         ori_h=ORI_H, ori_w=ORI_W)
+    cfg = HardeningConfig(selfsup=ss, adv=adv, batch_size=8)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    tr = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                          teacher=small_teacher, steps_per_epoch=10,
+                          mesh=mesh)
+    state = tr.make_state()
+    B = 8
+    frames = {"0": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=1))}
+    side = jnp.ones((B,), bool)
+    flip = jnp.zeros((B,), bool)
+    scenes = jnp.asarray(make_scene(8, ORI_H, ORI_W, seed=2))
+    state, metrics = tr.train_step(state, frames, side, flip, scenes,
+                                   jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
