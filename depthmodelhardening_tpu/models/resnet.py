@@ -108,6 +108,31 @@ def encoder_channels(num_layers: int) -> Sequence[int]:
     return tuple(ch)
 
 
+def stage_in_features(num_layers: int, stage: int) -> int:
+    """Input channel count of stage `stage` (0-indexed layer1..layer4)."""
+    ch = encoder_channels(num_layers)
+    return ch[stage]
+
+
+def run_stage(x, stage: int, num_layers: int, dtype, train: bool):
+    """Apply ResNet stage `stage` (0 -> layer1, ..., 3 -> layer4) inside
+    the caller's @nn.compact scope; block names follow the torch
+    state-dict paths (layer{stage+1}_{b})."""
+    blocks, block_cls = _STAGES[num_layers]
+    width = (64, 128, 256, 512)[stage]
+    stride = (1, 2, 2, 2)[stage]
+    in_features = stage_in_features(num_layers, stage)
+    for b in range(blocks[stage]):
+        out_width = width * block_cls.expansion \
+            if block_cls is Bottleneck else width
+        project = (b == 0) and (stride != 1 or in_features != out_width)
+        x = block_cls(width, strides=stride if b == 0 else 1,
+                      project=project, dtype=dtype,
+                      name=f"layer{stage + 1}_{b}")(x, train=train)
+        in_features = out_width
+    return x
+
+
 class ResnetEncoder(nn.Module):
     """ResNet trunk returning the 5 multi-scale feature maps.
 
@@ -122,8 +147,6 @@ class ResnetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        blocks, block_cls = _STAGES[self.num_layers]
-
         x = ((x - 0.45) / 0.225).astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -134,16 +157,7 @@ class ResnetEncoder(nn.Module):
                         padding=((1, 1), (1, 1)))
 
         features = [f0]
-        in_features = 64
-        for stage, (n_blocks, width, stride) in enumerate(
-                zip(blocks, (64, 128, 256, 512), (1, 2, 2, 2))):
-            for b in range(n_blocks):
-                out_width = width * getattr(block_cls, "expansion", 1) \
-                    if block_cls is Bottleneck else width
-                project = (b == 0) and (stride != 1 or in_features != out_width)
-                x = block_cls(width, strides=stride if b == 0 else 1,
-                              project=project, dtype=self.dtype,
-                              name=f"layer{stage + 1}_{b}")(x, train=train)
-                in_features = out_width
+        for stage in range(4):
+            x = run_stage(x, stage, self.num_layers, self.dtype, train)
             features.append(x)
         return features

@@ -98,3 +98,51 @@ def predictor_from(model: MonodepthModel, variables) -> DepthPredictor:
 def manydepth_rescale(disp):
     """ManyDepth wrapper output rescale (depth_model.py:58)."""
     return disp / 8.6437
+
+
+class ManyDepthModel(nn.Module):
+    """ManyDepth single-frame wrapper: cost-volume encoder fed with zero
+    lookup frames/poses, decoder disp rescaled by /8.6437
+    (depth_model.py:22-58 ManyDepthModelWrapper). K/invK must be the
+    1/4-resolution unnormalized intrinsics (depth_model.py:60-75)."""
+
+    num_layers: int = 18
+    scales: Sequence[int] = (0, 1, 2, 3)
+    input_height: int = 192
+    input_width: int = 640
+    num_depth_bins: int = 96
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .matching_encoder import ResnetEncoderMatching
+
+        self.encoder = ResnetEncoderMatching(
+            num_layers=self.num_layers, input_height=self.input_height,
+            input_width=self.input_width,
+            num_depth_bins=self.num_depth_bins, adaptive_bins=True,
+            depth_binning="linear", dtype=self.dtype, name="encoder")
+        self.decoder = DepthDecoder(scales=tuple(self.scales),
+                                    dtype=self.dtype, name="decoder")
+
+    def __call__(self, x, K, invK, min_depth_bin=0.1,
+                 max_depth_bin=20.0, train: bool = False):
+        B = x.shape[0]
+        lookup = jnp.zeros((B, 1) + x.shape[1:], x.dtype)
+        poses = jnp.zeros((B, 1, 4, 4), jnp.float32)
+        features, _, _ = self.encoder(
+            x, lookup, poses, K, invK, min_depth_bin=min_depth_bin,
+            max_depth_bin=max_depth_bin, train=train)
+        outputs = self.decoder(features)
+        return manydepth_rescale(outputs[("disp", 0)])
+
+
+def quarter_intrinsics(K_norm: jnp.ndarray, width: int, height: int):
+    """Normalized 4x4 intrinsics -> 1/4-size unnormalized (K, invK),
+    (depth_model.py:60-75 load_and_preprocess_intrinsics)."""
+    import numpy as np
+
+    K = np.asarray(K_norm, np.float64).copy()
+    K[0, :] *= width // 4
+    K[1, :] *= height // 4
+    return (jnp.asarray(K, jnp.float32),
+            jnp.asarray(np.linalg.pinv(K), jnp.float32))

@@ -90,6 +90,11 @@ class HardeningConfig:
     batch_size: int = 32
     # "bfloat16" = TPU-native compute dtype (params stay f32)
     compute_dtype: str = "float32"
+    # DepthHints family: proxy-supervised hint loss + 3-way loss masks
+    # (depth-hints/trainer.py:541-591); batches must carry
+    # depth_hint/depth_hint_mask planes. contras_loss_wt should be 0.1
+    # for this family (trainer.py:617).
+    use_depth_hints: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -245,8 +245,14 @@ class HardeningTrainer:
             if self.use_pose:
                 poses, new_bs = self._predict_poses_mutable(
                     params, new_bs, batch["color_aug"])
-            selfsup, aux = compute_selfsup_losses(
-                disps, batch, poses, rng, ss)
+            if cfg.use_depth_hints:
+                from .depth_hints import compute_depth_hints_losses
+
+                selfsup, aux = compute_depth_hints_losses(
+                    disps, batch, poses, rng, ss)
+            else:
+                selfsup, aux = compute_selfsup_losses(
+                    disps, batch, poses, rng, ss)
             metrics["selfsup_loss"] = selfsup
             total = total + selfsup
 
@@ -300,6 +306,11 @@ class HardeningTrainer:
         batch["inv_K"] = jnp.broadcast_to(self._inv_K,
                                           (frames["0"].shape[0], 4, 4))
         batch["stereo_T"] = stereo_T_batch(side_is_l, do_flip)
+        # DepthHints planes ride along at model resolution (loader
+        # applies the item's flip before batching)
+        for k in ("depth_hint", "depth_hint_mask"):
+            if k in frames:
+                batch[k] = frames[k]
 
         grads, (new_bs, metrics) = jax.grad(
             self._losses, has_aux=True)(state.params, state.batch_stats,

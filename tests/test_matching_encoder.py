@@ -1,0 +1,92 @@
+"""Cost-volume (ManyDepth) encoder tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depthmodelhardening_tpu.models.matching_encoder import (
+    ResnetEncoderMatching,
+)
+from depthmodelhardening_tpu.models.wrappers import (
+    ManyDepthModel, quarter_intrinsics,
+)
+
+H, W = 64, 96
+D = 8
+
+
+def _K_quarter():
+    Kn = np.array([[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0],
+                   [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    return quarter_intrinsics(Kn, W, H)
+
+
+@pytest.fixture(scope="module")
+def enc_and_vars():
+    enc = ResnetEncoderMatching(num_layers=18, input_height=H,
+                                input_width=W, num_depth_bins=D)
+    rng = jax.random.PRNGKey(0)
+    cur = jax.random.uniform(rng, (2, H, W, 3))
+    lookup = jnp.stack([cur, cur], axis=1)  # (B, 2, H, W, 3)
+    poses = jnp.broadcast_to(jnp.eye(4), (2, 2, 4, 4))
+    K, invK = _K_quarter()
+    Kb = jnp.broadcast_to(K, (2, 4, 4))
+    invKb = jnp.broadcast_to(invK, (2, 4, 4))
+    variables = enc.init(rng, cur, lookup, poses, Kb, invKb,
+                         train=False)
+    return enc, variables, (cur, lookup, poses, Kb, invKb)
+
+
+def test_matching_encoder_shapes(enc_and_vars):
+    enc, variables, (cur, lookup, poses, Kb, invKb) = enc_and_vars
+    feats, lowest_cost, confidence = enc.apply(
+        variables, cur, lookup, poses, Kb, invKb, train=False)
+    assert len(feats) == 5
+    assert feats[0].shape == (2, H // 2, W // 2, 64)
+    assert feats[1].shape == (2, H // 4, W // 4, 64)
+    assert feats[4].shape == (2, H // 32, W // 32, 512)
+    assert lowest_cost.shape == (2, H // 4, W // 4)
+    assert confidence.shape == (2, H // 4, W // 4)
+    assert set(np.unique(np.asarray(confidence))) <= {0.0, 1.0}
+    assert np.isfinite(np.asarray(lowest_cost)).all()
+
+
+def test_identity_pose_same_frame_zero_cost(enc_and_vars):
+    """Lookup == current with identity pose: every depth hypothesis
+    reprojects onto itself, so the interior cost is ~0 (up to the
+    projection-eps interpolation noise the reference also has)."""
+    enc, variables, (cur, lookup, poses, Kb, invKb) = enc_and_vars
+
+    bins = enc._depth_bins(jnp.asarray(0.1), jnp.asarray(20.0))
+    f = jax.random.uniform(jax.random.PRNGKey(1),
+                           (1, H // 4, W // 4, 16))
+    cost, missing = enc._cost_volume(f, f[:, None], poses[:1, :1],
+                                     Kb[:1], invKb[:1], bins)
+    assert cost.shape == (1, D, H // 4, W // 4)
+    assert missing.shape == cost.shape
+    inner = np.abs(np.asarray(cost))[0, :, 3:-3, 3:-3]
+    assert inner.max() < 1e-3
+
+
+def test_zero_pose_means_missing_frame(enc_and_vars):
+    enc, variables, (cur, lookup, poses, Kb, invKb) = enc_and_vars
+    zero_poses = jnp.zeros_like(poses)
+    feats, lowest_cost, confidence = enc.apply(
+        variables, cur, lookup, zero_poses, Kb, invKb, train=False)
+    # no lookup contributes -> nothing observed -> zero confidence
+    assert float(jnp.max(confidence)) == 0.0
+
+
+def test_manydepth_model_forward():
+    model = ManyDepthModel(num_layers=18, input_height=H, input_width=W)
+    K, invK = _K_quarter()
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, H, W, 3))
+    Kb = jnp.broadcast_to(K, (1, 4, 4))
+    invKb = jnp.broadcast_to(invK, (1, 4, 4))
+    variables = model.init(jax.random.PRNGKey(3), x, Kb, invKb)
+    disp = model.apply(variables, x, Kb, invKb)
+    assert disp.shape == (1, H, W, 1)
+    # sigmoid/8.6437 bound
+    assert float(disp.max()) <= 1.0 / 8.6437 + 1e-6
+    assert np.isfinite(np.asarray(disp)).all()
