@@ -54,6 +54,10 @@ class PhysObjAttackConfig:
     scene_w: int = SCENE_W
     ori_h: int = ORI_H
     ori_w: int = ORI_W
+    # metric quad size; per-vehicle values in physics.eot.VEHICLE_SIZES
+    # (physicalTrans.py:35-48)
+    veh_h: float = 1.6
+    veh_w: float = 1.82
     projection: Optional[np.ndarray] = None  # default: KITTI calib P2
 
     def make_eot(self) -> EoTCompositor:
@@ -68,8 +72,8 @@ class PhysObjAttackConfig:
             eps = 1e-7
         return EoTCompositor(EoTConfig(
             obj_h=self.obj_h, obj_w=self.obj_w, scene_h=self.ori_h,
-            scene_w=self.ori_w, projection=np.asarray(P, np.float32),
-            proj_eps=eps))
+            scene_w=self.ori_w, veh_h=self.veh_h, veh_w=self.veh_w,
+            projection=np.asarray(P, np.float32), proj_eps=eps))
 
 
 class PhysObjAttack:

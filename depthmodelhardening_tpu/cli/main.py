@@ -1,0 +1,401 @@
+"""Single typed-config CLI.
+
+Replaces the reference's per-script argparse entry points
+(simple_adv_training.py, DepthNetworks/*/train.py, evaluate_depth*.py,
+test_simple.py, precompute_depth_hints.py, export_gt_depth.py) with one
+command:
+
+  python -m depthmodelhardening_tpu.cli <subcommand> [...]
+
+Subcommands: train-hardening, train-distill, eval-attacks, eval-clean,
+infer, precompute-hints, export-gt-depths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_common_model_args(p):
+    p.add_argument("--weights-folder", type=str, default=None,
+                   help="reference-format weights_*/ folder with "
+                        "encoder.pth + depth.pth")
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--num-layers", type=int, default=18)
+
+
+def _load_predictor(args):
+    import jax
+
+    from ..models.wrappers import (
+        init_monodepth2, make_monodepth2, predictor_from,
+    )
+
+    if args.weights_folder:
+        from ..training.checkpoints import load_reference_pth
+
+        model = make_monodepth2(num_layers=args.num_layers)
+        variables, meta = load_reference_pth(
+            args.weights_folder, model, height=args.height,
+            width=args.width)
+    else:
+        model, variables = init_monodepth2(
+            jax.random.PRNGKey(0), args.height, args.width,
+            num_layers=args.num_layers)
+    return model, variables, predictor_from(model, variables)
+
+
+def cmd_infer(args):
+    """test_simple.py equivalent: disparity for one image ->
+    colormapped PNG + metric-depth npy (test_simple.py:95-160)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..ops.geometry import disp_to_depth
+    from ..ops.resize import bilinear_resize
+
+    model, variables, predictor = _load_predictor(args)
+
+    with open(args.image, "rb") as f:
+        img = Image.open(f).convert("RGB")
+    ow, oh = img.size
+    x = np.asarray(img.resize((args.width, args.height)),
+                   np.float32)[None] / 255.0
+    disp = predictor(jnp.asarray(x))
+    disp_full = bilinear_resize(disp, oh, ow)
+    scaled_disp, depth = disp_to_depth(disp_full, 0.1, 100)
+
+    base = os.path.splitext(args.image)[0]
+    np.save(base + "_disp.npy", np.asarray(scaled_disp))
+
+    d = np.asarray(disp_full)[0, ..., 0]
+    vmax = np.percentile(d, 95)
+    dn = np.clip(d / (vmax + 1e-9), 0, 1)
+    try:
+        import matplotlib.cm as cm
+
+        colored = (cm.magma(dn)[..., :3] * 255).astype(np.uint8)
+    except Exception:
+        colored = (np.stack([dn] * 3, -1) * 255).astype(np.uint8)
+    Image.fromarray(colored).save(base + "_disp.jpeg")
+    print(f"saved {base}_disp.npy and {base}_disp.jpeg")
+
+
+def cmd_eval_attacks(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.kitti_object import KittiObjectScenes
+    from ..data.object_images import process_car_img
+    from ..evaluation.attack_eval import (
+        AttackEvalConfig, build_attack, evaluate_attacks,
+        iter_eval_scenes,
+    )
+
+    model, variables, predictor = _load_predictor(args)
+    obj, car_mask, _ = process_car_img(args.object_image,
+                                       args.paint_mask_no)
+    cfg = AttackEvalConfig(
+        norm_type=args.norm_type, epsilon=args.epsilon,
+        alpha=args.alpha, step=args.step, adam_lr=args.adam_lr,
+        mask_wt=args.mask_wt, l0_thresh=args.l0_thresh,
+        batch_size=args.batch_size, eval_count=args.eval_count)
+    attack = build_attack(cfg, predictor.apply_fn, jnp.asarray(obj),
+                          jnp.asarray(car_mask))
+    dataset = KittiObjectScenes(args.object_data_root, mode="val",
+                                size=(cfg.ori_w, cfg.ori_h),
+                                train_list=args.train_list,
+                                val_list=args.val_list)
+    res = evaluate_attacks(predictor, attack,
+                           iter_eval_scenes(dataset, cfg), cfg,
+                           rng=jax.random.PRNGKey(17))
+    print(json.dumps(res, indent=2))
+
+
+def cmd_eval_clean(args):
+    import numpy as np
+
+    from ..data.kitti_raw import KittiRawDataset, load_split
+    from ..evaluation.clean_eval import CleanEvalConfig, evaluate_clean
+
+    model, variables, predictor = _load_predictor(args)
+    lines = load_split(args.split_dir, args.split, "test")
+    ds = KittiRawDataset(args.data_path, lines, frame_ids=("0",))
+    gt = np.load(os.path.join(args.split_dir, args.split,
+                              "gt_depths.npz"),
+                 allow_pickle=True)["data"]
+
+    def pairs():
+        from PIL import Image
+
+        for i, line in enumerate(ds.lines):
+            img = ds.get_color(line.folder, line.frame_index,
+                               line.side or "l")
+            img = np.asarray(Image.fromarray(
+                (img * 255).astype(np.uint8)).resize(
+                    (args.width, args.height)), np.float32) / 255.0
+            yield img, gt[i]
+
+    cfg = CleanEvalConfig(eval_stereo=not args.eval_mono,
+                          post_process=args.post_process)
+    metrics, ratios = evaluate_clean(predictor, pairs(), cfg)
+    print(json.dumps(metrics, indent=2))
+
+
+def cmd_train_distill(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.kitti_object import KittiObjectScenes
+    from ..data.object_images import process_car_img
+    from ..training.checkpoints import export_reference_pth, save_options
+    from ..training.config import DistillConfig
+    from ..training.distill import DistillTrainer
+
+    model, variables, teacher = _load_predictor(args)
+    obj, car_mask, _ = process_car_img(args.object_image,
+                                       args.paint_mask_no)
+    cfg = DistillConfig(adv_type=args.adv_type, epsilon=args.epsilon,
+                        alpha=args.alpha, steps=args.step,
+                        batch_size=args.batch_size,
+                        learning_rate=args.lr, epochs=args.epochs,
+                        compute_dtype=args.compute_dtype)
+    trainer = DistillTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
+                             car_mask, teacher,
+                             init_variables=variables)
+    state = trainer.make_state()
+    save_options(args.log_dir, cfg)
+
+    train_set = KittiObjectScenes(args.object_data_root, mode="train",
+                                  size=(cfg.ori_w, cfg.ori_h),
+                                  train_list=args.train_list,
+                                  val_list=args.val_list)
+    step = 0
+    for epoch in range(cfg.epochs):
+        for scenes, _ in train_set.batches(cfg.batch_size, seed=epoch):
+            state, metrics = trainer.train_step(
+                state, jnp.asarray(scenes),
+                jax.random.PRNGKey(args.seed * 1000 + step))
+            if step % 30 == 0:
+                print(f"epoch {epoch} step {step} "
+                      f"loss {float(metrics['loss']):.5f}")
+            step += 1
+        if epoch % 2 == 0:
+            export_reference_pth(
+                args.log_dir, epoch + 1,
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                height=args.height, width=args.width)
+    export_reference_pth(args.log_dir, "final",
+                         {"params": state.params,
+                          "batch_stats": state.batch_stats},
+                         height=args.height, width=args.width)
+
+
+def cmd_train_hardening(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.kitti_object import KittiObjectScenes
+    from ..data.kitti_raw import KittiRawDataset, collate, load_split
+    from ..data.loader import PrefetchLoader
+    from ..data.object_images import process_car_img
+    from ..parallel.mesh import make_mesh
+    from ..training.checkpoints import save_options, save_state
+    from ..training.config import (
+        AdvSynthConfig, HardeningConfig, SelfSupConfig,
+    )
+    from ..training.hardening import HardeningTrainer
+
+    model, variables, teacher = _load_predictor(args)
+    obj, car_mask, _ = process_car_img(args.object_image,
+                                       args.paint_mask_no)
+
+    frame_ids = tuple(args.frame_ids.split(","))
+    cfg = HardeningConfig(
+        selfsup=SelfSupConfig(height=args.height, width=args.width,
+                              frame_ids=frame_ids),
+        adv=AdvSynthConfig(norm_type=args.norm_type, steps=args.step,
+                           attack_batch_size=args.attack_batch_size),
+        supervised_adv=args.supervised_adv,
+        contrastive_learning=args.contrastive_learning,
+        learning_rate=args.lr, batch_size=args.batch_size,
+        compute_dtype=args.compute_dtype,
+        use_depth_hints=args.use_depth_hints)
+
+    lines = load_split(args.split_dir, args.split, "train")
+    ds = KittiRawDataset(args.data_path, lines, frame_ids=frame_ids)
+    mesh = make_mesh() if args.data_parallel else None
+    loader = PrefetchLoader(ds, cfg.batch_size, collate, seed=args.seed)
+    steps_per_epoch = max(len(loader), 1)
+
+    trainer = HardeningTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
+                               car_mask, teacher=teacher,
+                               steps_per_epoch=steps_per_epoch,
+                               mesh=mesh, init_variables=None)
+    state = trainer.make_state()
+    save_options(args.log_dir, cfg)
+
+    scene_set = KittiObjectScenes(args.object_data_root, mode="train",
+                                  size=(cfg.adv.ori_w, cfg.adv.ori_h),
+                                  train_list=args.train_list,
+                                  val_list=args.val_list)
+    scene_iter = iter(scene_set.batches(cfg.adv.attack_batch_size))
+
+    step = 0
+    for epoch in range(args.epochs):
+        for batch in loader:
+            try:
+                scenes, _ = next(scene_iter)
+            except StopIteration:
+                scene_iter = iter(scene_set.batches(
+                    cfg.adv.attack_batch_size, seed=epoch))
+                scenes, _ = next(scene_iter)
+            state, metrics = trainer.train_step(
+                state, batch["frames"],
+                jnp.asarray(batch["side_is_l"]),
+                jnp.asarray(batch["do_flip"]), jnp.asarray(scenes),
+                jax.random.PRNGKey(args.seed * 100003 + step))
+            if step % args.log_frequency == 0:
+                print(f"epoch {epoch} step {step} " + " ".join(
+                    f"{k}={float(v):.5f}" for k, v in metrics.items()))
+            step += 1
+        save_state(os.path.join(args.log_dir, "ckpts"), step, state)
+
+
+def cmd_precompute_hints(args):
+    from ..data.depth_hints import precompute_for_split
+    from ..data.kitti_raw import readlines
+
+    written = precompute_for_split(
+        args.data_path, readlines(args.filenames),
+        save_path=args.save_path, height=args.height,
+        width=args.width, overwrite=args.overwrite)
+    print(f"wrote {len(written)} depth hints")
+
+
+def cmd_export_gt(args):
+    from ..data.kitti_raw import export_gt_depths
+
+    out = export_gt_depths(args.data_path, args.split_dir, args.split)
+    print(f"saved {out}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="depthmodelhardening_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="single-image depth inference")
+    _add_common_model_args(pi)
+    pi.add_argument("--image", required=True)
+    pi.set_defaults(fn=cmd_infer)
+
+    pe = sub.add_parser("eval-attacks")
+    _add_common_model_args(pe)
+    pe.add_argument("--object-data-root", required=True)
+    pe.add_argument("--object-image", required=True)
+    pe.add_argument("--paint-mask-no", default="-2")
+    pe.add_argument("--norm-type", default="l_0")
+    pe.add_argument("--epsilon", type=float, default=0.1)
+    pe.add_argument("--alpha", type=float, default=0.005)
+    pe.add_argument("--step", type=int, default=10)
+    pe.add_argument("--adam-lr", type=float, default=0.5)
+    pe.add_argument("--mask-wt", type=float, default=0.06)
+    pe.add_argument("--l0-thresh", type=float, default=0.1)
+    pe.add_argument("--batch-size", type=int, default=12)
+    pe.add_argument("--eval-count", type=int, default=10)
+    pe.add_argument("--train-list", default="trainval.txt")
+    pe.add_argument("--val-list", default="test.txt")
+    pe.set_defaults(fn=cmd_eval_attacks)
+
+    pc = sub.add_parser("eval-clean")
+    _add_common_model_args(pc)
+    pc.add_argument("--data-path", required=True)
+    pc.add_argument("--split-dir", required=True)
+    pc.add_argument("--split", default="eigen")
+    pc.add_argument("--eval-mono", action="store_true")
+    pc.add_argument("--post-process", action="store_true")
+    pc.set_defaults(fn=cmd_eval_clean)
+
+    pd = sub.add_parser("train-distill")
+    _add_common_model_args(pd)
+    pd.add_argument("--object-data-root", required=True)
+    pd.add_argument("--object-image", required=True)
+    pd.add_argument("--paint-mask-no", default="-2")
+    pd.add_argument("--adv-type", default="object",
+                    choices=["object", "object_l0", "image"])
+    pd.add_argument("--epsilon", type=float, default=0.1)
+    pd.add_argument("--alpha", type=float, default=0.005)
+    pd.add_argument("--step", type=int, default=10)
+    pd.add_argument("--batch-size", type=int, default=16)
+    pd.add_argument("--lr", type=float, default=1e-4)
+    pd.add_argument("--epochs", type=int, default=20)
+    pd.add_argument("--seed", type=int, default=17)
+    pd.add_argument("--log-dir", default="./logs/distill")
+    pd.add_argument("--compute-dtype", default="bfloat16")
+    pd.add_argument("--train-list", default="trainval.txt")
+    pd.add_argument("--val-list", default="test.txt")
+    pd.set_defaults(fn=cmd_train_distill)
+
+    ph = sub.add_parser("train-hardening")
+    _add_common_model_args(ph)
+    ph.add_argument("--data-path", required=True)
+    ph.add_argument("--split-dir", required=True)
+    ph.add_argument("--split", default="eigen_full")
+    ph.add_argument("--object-data-root", required=True)
+    ph.add_argument("--object-image", required=True)
+    ph.add_argument("--paint-mask-no", default="-2")
+    ph.add_argument("--frame-ids", default="0,s")
+    ph.add_argument("--norm-type", default="l_0")
+    ph.add_argument("--step", type=int, default=10)
+    ph.add_argument("--attack-batch-size", type=int, default=12)
+    ph.add_argument("--batch-size", type=int, default=32)
+    ph.add_argument("--lr", type=float, default=1e-5)
+    ph.add_argument("--epochs", type=int, default=20)
+    ph.add_argument("--seed", type=int, default=17)
+    ph.add_argument("--supervised-adv", action="store_true",
+                    default=True)
+    ph.add_argument("--contrastive-learning", action="store_true",
+                    default=True)
+    ph.add_argument("--use-depth-hints", action="store_true")
+    ph.add_argument("--data-parallel", action="store_true")
+    ph.add_argument("--log-dir", default="./logs/hardening")
+    ph.add_argument("--log-frequency", type=int, default=25)
+    ph.add_argument("--compute-dtype", default="bfloat16")
+    ph.add_argument("--train-list", default="trainval.txt")
+    ph.add_argument("--val-list", default="test.txt")
+    ph.set_defaults(fn=cmd_train_hardening)
+
+    pp = sub.add_parser("precompute-hints")
+    pp.add_argument("--data-path", required=True)
+    pp.add_argument("--filenames", required=True)
+    pp.add_argument("--save-path", default=None)
+    pp.add_argument("--height", type=int, default=320)
+    pp.add_argument("--width", type=int, default=1024)
+    pp.add_argument("--overwrite", action="store_true")
+    pp.set_defaults(fn=cmd_precompute_hints)
+
+    pg = sub.add_parser("export-gt-depths")
+    pg.add_argument("--data-path", required=True)
+    pg.add_argument("--split-dir", required=True)
+    pg.add_argument("--split", default="eigen")
+    pg.set_defaults(fn=cmd_export_gt)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -184,3 +184,36 @@ def load_split(split_dir: str, split: str, mode: str = "train") \
         -> List[str]:
     """Read <split_dir>/<split>/<mode>_files.txt (trainer.py:158-161)."""
     return readlines(os.path.join(split_dir, split, f"{mode}_files.txt"))
+
+
+def export_gt_depths(data_path: str, split_dir: str, split: str = "eigen"
+                     ) -> str:
+    """Export gt_depths.npz for a split's test files
+    (export_gt_depth.py:25-62): velodyne projection (vel_depth=True) for
+    "eigen", annotated proj_depth PNGs for "eigen_benchmark"."""
+    from .velodyne import generate_depth_map
+
+    lines = load_split(split_dir, split, "test")
+    gt_depths = []
+    for line in lines:
+        sp = SplitLine.parse(line)
+        if split == "eigen":
+            calib_dir = os.path.join(data_path, sp.folder.split("/")[0])
+            velo = os.path.join(data_path, sp.folder,
+                                "velodyne_points", "data",
+                                f"{sp.frame_index:010d}.bin")
+            gt = generate_depth_map(calib_dir, velo, 2, vel_depth=True)
+        elif split == "eigen_benchmark":
+            from PIL import Image
+
+            p = os.path.join(data_path, sp.folder, "proj_depth",
+                             "groundtruth", "image_02",
+                             f"{sp.frame_index:010d}.png")
+            gt = np.asarray(Image.open(p)).astype(np.float32) / 256.0
+        else:
+            raise ValueError(split)
+        gt_depths.append(gt.astype(np.float32))
+
+    out = os.path.join(split_dir, split, "gt_depths.npz")
+    np.savez_compressed(out, data=np.array(gt_depths, dtype=object))
+    return out

@@ -54,6 +54,7 @@ class AttackEvalConfig:
     n_inits: int = 200  # light attack
     n_neighbors: int = 20
     n_queries: int = 5000  # Square attack
+    obj_name: str = "BMW"  # metric quad size key (physicalTrans.py:35-40)
     scene_h: int = 320
     scene_w: int = 1024
     ori_h: int = 375
@@ -63,10 +64,15 @@ class AttackEvalConfig:
 def build_attack(cfg: AttackEvalConfig, predict_fn, obj_img, obj_mask,
                  adv_obj_img=None):
     """Attack factory (evaluate_depth.py:119-151 dispatch)."""
+    from ..physics.eot import VEHICLE_SIZES
+
     oh, ow = obj_img.shape[1:3]
+    veh_h, veh_w = VEHICLE_SIZES.get(
+        next((k for k in VEHICLE_SIZES if cfg.obj_name.startswith(k)),
+             "BMW"))
     base = PhysObjAttackConfig(
         obj_h=oh, obj_w=ow, scene_h=cfg.scene_h, scene_w=cfg.scene_w,
-        ori_h=cfg.ori_h, ori_w=cfg.ori_w,
+        ori_h=cfg.ori_h, ori_w=cfg.ori_w, veh_h=veh_h, veh_w=veh_w,
         eval_pin_z0=6.1 if cfg.norm_type == "l_0" else 7.0)
     nt = cfg.norm_type
     if nt == "image":
@@ -125,15 +131,21 @@ def _batch_metrics(predictor, adv, ben, masks):
 
 def evaluate_attacks(predictor, attack, scenes_iter: Iterable,
                      cfg: AttackEvalConfig, rng=None,
-                     vanila_obj=None) -> Dict[str, Dict[str, float]]:
+                     vanila_obj=None,
+                     metric_predictor=None) -> Dict[str, Dict[str, float]]:
     """Run the attack over eval batches and aggregate metrics.
 
-    predictor: DepthPredictor (frozen).
+    predictor: DepthPredictor (frozen) the attack optimizes against.
+    metric_predictor: optional different model whose predictions are
+      measured — the transferability cross-check
+      (evaluate_depth_crosscheck.py:205-215 attacks the source model and
+      evaluates the target model). Defaults to `predictor`.
     scenes_iter: yields (B, ori_h, ori_w, 3) scene batches (the caller
       applies start_idx/eval_count slicing, or use iter_eval_scenes).
     Returns {"mean": {...}, "max": {...}} keyed by METRIC_NAMES.
     """
     rng = jax.random.PRNGKey(17) if rng is None else rng
+    metric_predictor = metric_predictor or predictor
     rows = []
     for i, scenes in enumerate(scenes_iter):
         if i >= cfg.eval_count:
@@ -151,7 +163,7 @@ def evaluate_attacks(predictor, attack, scenes_iter: Iterable,
             adv, ben, masks, _ = attack(
                 predictor.variables, scenes, cfg.batch_size, key,
                 eval_mode=True)
-        errs = _batch_metrics(predictor, adv, ben, masks)
+        errs = _batch_metrics(metric_predictor, adv, ben, masks)
         rows.append(np.asarray(jnp.stack(errs)))
 
     rows = np.stack(rows)  # (n, 8)
