@@ -272,3 +272,63 @@ def load_pth(path: str) -> Dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+_MATCHING_META_KEYS = ("height", "width", "min_depth_bin",
+                       "max_depth_bin", "use_stereo", "depth_binning")
+
+
+def convert_matching_encoder(state_dict) -> Tuple[Dict, Dict[str, Any]]:
+    """torch ResnetEncoderMatching state dict -> variables for our
+    ResnetEncoderMatching (models/matching_encoder.py).
+
+    The reference regroups the trunk into Sequentials
+    (manydepth2/networks/resnet_encoder.py:104-108):
+      layer0.0 = conv1, layer0.1 = bn1 (layer0.2 relu has no params),
+      layer1.0 = maxpool, layer1.1 = resnet layer1,
+      layer{2,3,4} = resnet layers directly,
+    plus prematching_conv.0 and reduce_conv.0 (Sequential(conv, relu)).
+    Checkpoints additionally carry min/max_depth_bin etc.
+    (manydepth2/trainer.py:811-813).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    meta: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        if key in _MATCHING_META_KEYS:
+            meta[key] = value
+            continue
+        name = key[len("encoder."):] if key.startswith("encoder.") else key
+        parts = name.split(".")
+        head = parts[0]
+        if head == "layer0":
+            scope = ["conv1"] if parts[1] == "0" else ["bn1"]
+            rest = parts[2:]
+        elif head == "layer1":
+            # layer1.1.<b>.<...>
+            scope = [f"layer1_{parts[2]}"]
+            rest = parts[3:]
+        elif re.match(r"layer[234]$", head):
+            scope = [f"{head}_{parts[1]}"]
+            rest = parts[2:]
+        elif head in ("prematching_conv", "reduce_conv"):
+            scope = [head]
+            rest = parts[2:]  # drop the Sequential index
+        else:
+            continue
+        if rest and rest[0] == "downsample":
+            scope.append(f"downsample_{rest[1]}")
+            rest = rest[2:]
+        elif len(rest) > 1:
+            scope.append(rest[0])
+            rest = rest[1:]
+        leaf = rest[-1]
+        is_bn = leaf in _BN_LEAVES and not (
+            leaf == "weight" and _to_np(value).ndim == 4)
+        if is_bn:
+            _place_bn(params, stats, scope, leaf, value)
+        elif leaf == "weight":
+            _set(params, scope + ["kernel"], _conv_kernel(value))
+        elif leaf == "bias":
+            _set(params, scope + ["bias"], _to_np(value))
+    return {"params": params, "batch_stats": stats}, meta

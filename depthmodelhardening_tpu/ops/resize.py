@@ -11,27 +11,54 @@ reference bit-for-bit-in-convention.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .sampling import bilinear_sample_pixels
+
+_F32 = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix for the torch
+    half-pixel convention: src = (dst + 0.5) * (in/out) - 0.5, edge
+    clamped. Each row has at most two non-zeros (1-frac, frac)."""
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0.0, n_in - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (src - lo).astype(np.float64)
+    M = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    M[rows, lo] += (1.0 - frac).astype(np.float32)
+    M[rows, hi] += frac.astype(np.float32)
+    return M
 
 
 def bilinear_resize(img, out_h: int, out_w: int):
     """torch F.interpolate(mode="bilinear", align_corners=False, antialias=False).
 
     img: (B, H, W, C) -> (B, out_h, out_w, C).
-    src = (dst + 0.5) * (in/out) - 0.5, edge-clamped bilinear.
+
+    TPU-first: the sampling grid is static and separable, so the resize
+    is two small dense matmuls (out = R_h @ img @ R_w^T) that run on the
+    MXU instead of per-pixel gathers — the reference's composite-resize
+    (1242x375 -> 1024x320 each attack step, phy_obj_atk.py:51, 89) is
+    gather-bound otherwise. Interpolation matrices are compile-time
+    constants; numerics match the gather path to float rounding.
     """
     B, H, W, C = img.shape
     if H == out_h and W == out_w:
         return img
-    sy = H / out_h
-    sx = W / out_w
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
-    x = jnp.broadcast_to(xs[None, None, :], (B, out_h, out_w))
-    y = jnp.broadcast_to(ys[None, :, None], (B, out_h, out_w))
-    return bilinear_sample_pixels(img, x, y, padding_mode="border")
+    Rh = jnp.asarray(_interp_matrix(H, out_h), img.dtype)  # (out_h, H)
+    Rw = jnp.asarray(_interp_matrix(W, out_w), img.dtype)  # (out_w, W)
+    # (B,H,W,C) -> (B,out_h,W,C) -> (B,out_h,out_w,C)
+    tmp = jnp.einsum("oh,bhwc->bowc", Rh, img, precision=_F32)
+    return jnp.einsum("ow,bhwc->bhoc", Rw, tmp, precision=_F32)
 
 
 def nearest_upsample2(x):

@@ -142,6 +142,45 @@ def synthesize_adv_batch(
         col = bilinear_resize(_flip_where(frames[fid], do_flip), H, W)
         out["color"][fid] = col
         out["color_aug"][fid] = col
+
+    if adv_cfg.color_aug:
+        out = _jitter_aug_planes(out, rng, selfsup_cfg)
+    return out
+
+
+def _jitter_aug_planes(out, rng, selfsup_cfg):
+    """Per-item color jitter on the augmented planes + color_ben
+    (mono_dataset.py:296-297, 344-350: jitter applies with prob 0.5 per
+    item, same parameters for every frame of the item, to "color_aug"
+    keys and "color_ben" — never to "color").
+
+    On-device variant: per-item factors traced; the op order is the
+    canonical brightness/contrast/saturation/hue (the reference permutes
+    order per item — a per-batch-element permutation would force 24-way
+    branching under jit for a visually negligible difference).
+    """
+    from ..ops.color import (
+        adjust_brightness, adjust_contrast, adjust_hue, adjust_saturation,
+    )
+
+    B = out["color_ben"].shape[0]
+    k_en, kb, kc, ks, kh = jax.random.split(jax.random.fold_in(rng, 7), 5)
+    enabled = jax.random.bernoulli(k_en, 0.5, (B,))
+    fb = jax.random.uniform(kb, (B, 1, 1, 1), minval=0.8, maxval=1.2)
+    fc = jax.random.uniform(kc, (B, 1, 1, 1), minval=0.8, maxval=1.2)
+    fs = jax.random.uniform(ks, (B, 1, 1, 1), minval=0.8, maxval=1.2)
+    fh = jax.random.uniform(kh, (B, 1, 1), minval=-0.1, maxval=0.1)
+
+    def jit_img(img):
+        j = adjust_brightness(img, fb)
+        j = adjust_contrast(j, fc)
+        j = adjust_saturation(j, fs)
+        j = adjust_hue(j, fh)
+        return jnp.where(enabled[:, None, None, None], j, img)
+
+    out["color_ben"] = jit_img(out["color_ben"])
+    out["color_aug"] = {fid: jit_img(img)
+                        for fid, img in out["color_aug"].items()}
     return out
 
 
