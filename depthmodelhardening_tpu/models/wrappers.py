@@ -136,6 +136,69 @@ class ManyDepthModel(nn.Module):
         return manydepth_rescale(outputs[("disp", 0)])
 
 
+class ManyDepthTrainModel(nn.Module):
+    """ManyDepth model with the hardening trainer's interface
+    (MonodepthModel-compatible: __call__/features_and_disps/encode).
+
+    The reference's ManyDepth hardening trainer runs the cost-volume
+    encoder in single-frame mode — zero lookup images, zero pose, fixed
+    min/max depth bins from the pretrained checkpoint — and divides all
+    disparities by 8.6437 (manydepth2/trainer.py:345-386).
+    """
+
+    num_layers: int = 18
+    scales: Sequence[int] = (0, 1, 2, 3)
+    input_height: int = 320
+    input_width: int = 1024
+    num_depth_bins: int = 96
+    min_depth_bin: float = 0.1
+    max_depth_bin: float = 20.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .matching_encoder import ResnetEncoderMatching
+
+        self.encoder = ResnetEncoderMatching(
+            num_layers=self.num_layers, input_height=self.input_height,
+            input_width=self.input_width,
+            num_depth_bins=self.num_depth_bins, adaptive_bins=False,
+            min_depth_bin=self.min_depth_bin,
+            max_depth_bin=self.max_depth_bin, dtype=self.dtype,
+            name="encoder")
+        self.decoder = DepthDecoder(scales=tuple(self.scales),
+                                    dtype=self.dtype, name="decoder")
+
+    def _quarter_K(self, B):
+        import numpy as np
+
+        K = np.array([[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+        K[0, :] *= self.input_width // 4
+        K[1, :] *= self.input_height // 4
+        invK = np.linalg.pinv(K)
+        return (jnp.broadcast_to(jnp.asarray(K), (B, 4, 4)),
+                jnp.broadcast_to(jnp.asarray(invK), (B, 4, 4)))
+
+    def encode(self, x, train: bool = False):
+        B = x.shape[0]
+        K, invK = self._quarter_K(B)
+        lookup = jnp.zeros((B, 1) + x.shape[1:], x.dtype)
+        poses = jnp.zeros((B, 1, 4, 4), jnp.float32)
+        features, _, _ = self.encoder(x, lookup, poses, K, invK,
+                                      train=train)
+        return features
+
+    def features_and_disps(self, x, train: bool = False):
+        features = self.encode(x, train=train)
+        outputs = self.decoder(features)
+        return features, {k: manydepth_rescale(v)
+                          for k, v in outputs.items()}
+
+    def __call__(self, x, train: bool = False):
+        _, outputs = self.features_and_disps(x, train=train)
+        return outputs[("disp", 0)]
+
+
 def quarter_intrinsics(K_norm: jnp.ndarray, width: int, height: int):
     """Normalized 4x4 intrinsics -> 1/4-size unnormalized (K, invK),
     (depth_model.py:60-75 load_and_preprocess_intrinsics)."""

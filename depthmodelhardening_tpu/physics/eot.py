@@ -107,25 +107,69 @@ def project_corners(world_corners, P, eps: float = 1e-7):
     return jnp.trunc(pix)
 
 
-def solve_homography(endpoints, startpoints):
-    """Solve the 8-DoF map sending endpoint pixels -> startpoint pixels.
+def _unit_square_to_quad(q):
+    """Closed-form 3x3 homography mapping the unit square's corners
+    (0,0),(1,0),(1,1),(0,1) to quad q (4,2) in order [tl,tr,br,bl]
+    (Heckbert's projective texture-mapping formulas). Pure elementwise
+    math — no linear solve, so it compiles/executes on the VPU without
+    TPU LU loops."""
+    x0, y0 = q[0, 0], q[0, 1]
+    x1, y1 = q[1, 0], q[1, 1]
+    x2, y2 = q[2, 0], q[2, 1]
+    x3, y3 = q[3, 0], q[3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - dx2 * sy) / den
+    h = (dx1 * sy - sx * dy1) / den
+    affine = (jnp.abs(sx) < 1e-9) & (jnp.abs(sy) < 1e-9)
+    g = jnp.where(affine, 0.0, g)
+    h = jnp.where(affine, 0.0, h)
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    return jnp.stack([jnp.stack([a, b, x0]),
+                      jnp.stack([d, e, y0]),
+                      jnp.stack([g, h, jnp.ones_like(g)])])
 
-    Same linear system torchvision's perspective() solves: for output
-    pixel (x, y) (endpoint frame), source = ((ax+by+c)/(gx+hy+1),
-    (dx+ey+f)/(gx+hy+1)). endpoints/startpoints: (4, 2) [x, y].
-    Returns coeffs (8,) = [a, b, c, d, e, f, g, h].
+
+def _adjugate3(M):
+    """3x3 adjugate (inverse up to scale — scale cancels in projective
+    coordinates)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    return jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e]),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f]),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d]),
+    ])
+
+
+def solve_homography(endpoints, startpoints):
+    """The 8-DoF map sending endpoint pixels -> startpoint pixels.
+
+    Same map torchvision's perspective() solves with an 8x8 system: for
+    output pixel (x, y) (endpoint frame), source =
+    ((ax+by+c)/(gx+hy+1), (dx+ey+f)/(gx+hy+1)). endpoints/startpoints:
+    (4, 2) [x, y] in order [tl, tr, br, bl]. Returns coeffs (8,).
+
+    Computed in closed form as H_start @ adj(H_end) through the unit
+    square instead of jnp.linalg.solve — identical result (the
+    torchvision-oracle parity tests cover it) but pure VPU math.
     """
     e = endpoints.astype(jnp.float32)
     s = startpoints.astype(jnp.float32)
-    zeros = jnp.zeros((4,), jnp.float32)
-    ones = jnp.ones((4,), jnp.float32)
-    rows_x = jnp.stack([e[:, 0], e[:, 1], ones, zeros, zeros, zeros,
-                        -s[:, 0] * e[:, 0], -s[:, 0] * e[:, 1]], axis=1)
-    rows_y = jnp.stack([zeros, zeros, zeros, e[:, 0], e[:, 1], ones,
-                        -s[:, 1] * e[:, 0], -s[:, 1] * e[:, 1]], axis=1)
-    A = jnp.concatenate([rows_x, rows_y], axis=0)  # (8, 8)
-    b = jnp.concatenate([s[:, 0], s[:, 1]], axis=0)  # (8,)
-    return jnp.linalg.solve(A, b)
+    H = jnp.matmul(_unit_square_to_quad(s), _adjugate3(
+        _unit_square_to_quad(e)), precision=_F32)
+    H = H / H[2, 2]
+    return jnp.stack([H[0, 0], H[0, 1], H[0, 2],
+                      H[1, 0], H[1, 1], H[1, 2],
+                      H[2, 0], H[2, 1]])
 
 
 def perspective_src_coords(coeffs, out_h: int, out_w: int):

@@ -95,6 +95,11 @@ class HardeningConfig:
     # depth_hint/depth_hint_mask planes. contras_loss_wt should be 0.1
     # for this family (trainer.py:617).
     use_depth_hints: bool = False
+    # "monodepth2" | "manydepth": manydepth runs the cost-volume encoder
+    # in single-frame mode with /8.6437 disparity rescale
+    # (manydepth2/trainer.py:345-386)
+    model_family: str = "monodepth2"
+    manydepth_num_depth_bins: int = 96
 
 
 @dataclasses.dataclass(frozen=True)

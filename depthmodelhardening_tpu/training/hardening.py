@@ -93,8 +93,17 @@ class HardeningTrainer:
 
         ss = cfg.selfsup
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.model = MonodepthModel(num_layers=cfg.num_layers,
-                                    scales=ss.scales, dtype=dtype)
+        if cfg.model_family == "manydepth":
+            from ..models.wrappers import ManyDepthTrainModel
+
+            self.model = ManyDepthTrainModel(
+                num_layers=cfg.num_layers, scales=ss.scales,
+                input_height=ss.height, input_width=ss.width,
+                num_depth_bins=cfg.manydepth_num_depth_bins,
+                dtype=dtype)
+        else:
+            self.model = MonodepthModel(num_layers=cfg.num_layers,
+                                        scales=ss.scales, dtype=dtype)
         self.simsiam = SimSiam() if cfg.contrastive_learning else None
         self.use_pose = ss.use_pose_net
         if self.use_pose:
@@ -195,7 +204,7 @@ class HardeningTrainer:
         (feats_aug, outs), mut = self.model.apply(
             v, batch["color_aug"]["0"], train=True,
             mutable=["batch_stats"],
-            method=MonodepthModel.features_and_disps)
+            method="features_and_disps")
         new_bs["depth"] = mut["batch_stats"]
         disps = {s: outs[("disp", s)] for s in ss.scales}
 
@@ -228,7 +237,7 @@ class HardeningTrainer:
                   "batch_stats": new_bs["depth"]}
             feats_ben, mut2 = self.model.apply(
                 v2, batch["color_ben"], train=True,
-                mutable=["batch_stats"], method=MonodepthModel.encode)
+                mutable=["batch_stats"], method="encode")
             new_bs["depth"] = mut2["batch_stats"]
             vss = {"params": params["simsiam"],
                    "batch_stats": batch_stats["simsiam"]}

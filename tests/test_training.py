@@ -234,3 +234,28 @@ def test_hardening_data_parallel_mesh(small_teacher):
     state, metrics = tr.train_step(state, frames, side, flip, scenes,
                                    jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_hardening_manydepth_family(small_teacher):
+    """ManyDepth family: cost-volume encoder in single-frame mode,
+    /8.6437 rescale, full hardening objectives."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+    adv = AdvSynthConfig(norm_type="l_inf", steps=1, attack_batch_size=2,
+                         ori_h=ORI_H, ori_w=ORI_W)
+    cfg = HardeningConfig(selfsup=ss, adv=adv, batch_size=2,
+                          model_family="manydepth",
+                          manydepth_num_depth_bins=4)
+    tr = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                          teacher=small_teacher, steps_per_epoch=10)
+    state = tr.make_state()
+    B = 2
+    frames = {"0": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=1))}
+    side = jnp.asarray([True, False])
+    flip = jnp.asarray([False, False])
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+    state, metrics = tr.train_step(state, frames, side, flip, scenes,
+                                   jax.random.PRNGKey(3))
+    for k in ("loss", "sup_loss", "contras_loss", "selfsup_loss"):
+        assert np.isfinite(float(metrics[k])), k
