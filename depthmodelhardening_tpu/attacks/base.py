@@ -59,6 +59,14 @@ class PhysObjAttackConfig:
     veh_h: float = 1.6
     veh_w: float = 1.82
     projection: Optional[np.ndarray] = None  # default: KITTI calib P2
+    # Inner-loop model view: False (default) warps directly at model
+    # resolution inside a tile around the quad (sub-pixel-different,
+    # ~7x fewer gather/scatter elements); True reproduces the exact
+    # warp-at-native-then-resize chain (phy_obj_atk.py:83-90). Final
+    # composites always use the exact path.
+    exact_composite: bool = False
+    tile_h: int = 256
+    tile_w: int = 256
 
     def make_eot(self) -> EoTCompositor:
         P = self.projection
@@ -121,13 +129,27 @@ class PhysObjAttack:
         return z, a
 
     def _model_view(self, scenes_full, obj_adv, z0s, alphas):
-        """One EoT step: composite at 1242x375, resize to model input.
-        Returns (adv_scenes_1024x320, masks_1024x320)."""
-        adv_full, mask_full = self.eot.project_and_composite(
-            scenes_full, obj_adv, self.obj_mask, z0s, alphas)
-        adv = bilinear_resize(adv_full, self.cfg.scene_h, self.cfg.scene_w)
-        mask = bilinear_resize(mask_full, self.cfg.scene_h, self.cfg.scene_w)
-        return adv, mask
+        """One EoT step -> (adv_scenes, masks) at model resolution.
+
+        Exact path: composite at native res, resize (phy_obj_atk.py:83-90).
+        Fast path (default): tiled warp straight to model res; the
+        resize(scenes) it needs is loop-invariant so XLA hoists it out
+        of the attack loop."""
+        if self.cfg.exact_composite:
+            adv_full, mask_full = self.eot.project_and_composite(
+                scenes_full, obj_adv, self.obj_mask, z0s, alphas)
+            adv = bilinear_resize(adv_full, self.cfg.scene_h,
+                                  self.cfg.scene_w)
+            mask = bilinear_resize(mask_full, self.cfg.scene_h,
+                                   self.cfg.scene_w)
+            return adv, mask
+        scenes_model = bilinear_resize(scenes_full, self.cfg.scene_h,
+                                       self.cfg.scene_w)
+        return self.eot.composite_tiled_model(
+            scenes_model, obj_adv, self.obj_mask, z0s, alphas,
+            model_h=self.cfg.scene_h, model_w=self.cfg.scene_w,
+            tile_h=min(self.cfg.tile_h, self.cfg.scene_h),
+            tile_w=min(self.cfg.tile_w, self.cfg.scene_w))
 
     def _targeted_cost(self, variables, adv_scenes, masks):
         """Targeted zero-disparity MSE inside the object mask

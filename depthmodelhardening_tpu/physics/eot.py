@@ -172,17 +172,20 @@ def solve_homography(endpoints, startpoints):
                       H[2, 0], H[2, 1]])
 
 
-def perspective_src_coords(coeffs, out_h: int, out_w: int):
+def perspective_src_coords(coeffs, out_h: int, out_w: int,
+                           y0=0.0, x0=0.0):
     """Source pixel coords for each output pixel, torchvision convention.
 
     torchvision applies the homography to output pixel *centers* (x+0.5,
     y+0.5) and samples grid_sample(align_corners=False), which equals
     sampling input pixel coords (Hx - 0.5, Hy - 0.5).
+    (y0, x0): optional (traced) offset of the output window — used by the
+    tiled warp to evaluate the map on a sub-rectangle.
     Returns (sx, sy), each (out_h, out_w) float32.
     """
     a, b, c, d, e, f, g, h = [coeffs[i] for i in range(8)]
-    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5 + x0
+    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5 + y0
     x = xs[None, :]
     y = ys[:, None]
     denom = g * x + h * y + 1.0
@@ -320,6 +323,73 @@ class EoTCompositor:
     def composite(self, scenes, obj_scene, mask_scene):
         """scene*(1-m) + obj*m (phy_obj_atk.py:88)."""
         return scenes * (1.0 - mask_scene) + obj_scene * mask_scene
+
+    def composite_tiled_model(self, scenes_model, obj, mask, z0s, alphas,
+                              model_h: int, model_w: int,
+                              tile_h: int = 256, tile_w: int = 256,
+                              T: Optional[jnp.ndarray] = None):
+        """Warp + composite directly at model resolution inside a small
+        tile around the object quad.
+
+        TPU-first fast path for attack inner loops: instead of warping
+        the object over the full native scene and resizing the composite
+        (phy_obj_atk.py:83-90), the resize is folded into the homography
+        (scene corners scaled by the half-pixel resize map) and the warp
+        is evaluated only on a (tile_h, tile_w) window positioned at the
+        quad's bounding box — cutting both the gather count and its
+        scatter adjoint (the texture gradient) by the scene/tile area
+        ratio. Differences vs the exact path are sub-pixel (one bilinear
+        resample instead of two). Exact-path callers: final outputs and
+        training-batch synthesis.
+
+        scenes_model: (B, model_h, model_w, 3) — resize(scenes) computed
+        by the caller (loop-invariant). obj: (1|B, oh, ow, C).
+        Returns (adv_model, mask_model) both full size.
+        """
+        B = z0s.shape[0]
+        C = obj.shape[-1]
+        sx_f = model_w / self.cfg.scene_w
+        sy_f = model_h / self.cfg.scene_h
+        stacked = jnp.concatenate(
+            [jnp.broadcast_to(obj, (B,) + obj.shape[1:]),
+             jnp.broadcast_to(mask, (B,) + mask.shape[1:])], axis=-1)
+
+        l_pad = self.startpoints[0, 0]
+        t_pad = self.startpoints[0, 1]
+        sp_local = jnp.asarray(self.startpoints)
+
+        def one(scene_b, img_b, z0, alpha, T_b):
+            ep = self.corners(z0, alpha, T_b)
+            # compose the torch half-pixel resize into the endpoints:
+            # model = (ori + 0.5) * s - 0.5
+            ep_m = jnp.stack([(ep[:, 0] + 0.5) * sx_f - 0.5,
+                              (ep[:, 1] + 0.5) * sy_f - 0.5], axis=1)
+            coeffs = solve_homography(ep_m, sp_local)
+            y0 = jnp.clip(jnp.floor(jnp.min(ep_m[:, 1])) - 1.0,
+                          0.0, model_h - tile_h)
+            x0 = jnp.clip(jnp.floor(jnp.min(ep_m[:, 0])) - 1.0,
+                          0.0, model_w - tile_w)
+            sxc, syc = perspective_src_coords(coeffs, tile_h, tile_w,
+                                              y0=y0, x0=x0)
+            tile = bilinear_sample_pixels(
+                img_b[None], (sxc - l_pad)[None], (syc - t_pad)[None],
+                padding_mode="zeros")[0]
+            obj_t, m_t = tile[..., :C], tile[..., C:]
+            start = (y0.astype(jnp.int32), x0.astype(jnp.int32), 0)
+            scene_t = jax.lax.dynamic_slice(
+                scene_b, start, (tile_h, tile_w, scene_b.shape[-1]))
+            comp_t = scene_t * (1.0 - m_t) + obj_t * m_t
+            adv = jax.lax.dynamic_update_slice(scene_b, comp_t, start)
+            mask_full = jax.lax.dynamic_update_slice(
+                jnp.zeros(scene_b.shape[:2] + (1,), m_t.dtype), m_t,
+                start)
+            return adv, mask_full
+
+        if T is not None and T.ndim == 3:
+            return jax.vmap(one)(scenes_model, stacked, z0s, alphas, T)
+        return jax.vmap(
+            lambda s, i, z, a: one(s, i, z, a, T)
+        )(scenes_model, stacked, z0s, alphas)
 
     def project_and_composite(self, scenes, obj, mask, z0s, alphas,
                               T: Optional[jnp.ndarray] = None,
