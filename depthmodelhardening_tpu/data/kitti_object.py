@@ -109,15 +109,14 @@ class KittiObjectScenes:
         return len(self.filepaths)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
-        from PIL import Image
+        from ..native import load_image
 
         path, label = self.filepaths[idx]
-        with open(path, "rb") as f:
-            img = np.asarray(Image.open(f).convert("RGB"))
+        img = load_image(path)  # float32 [0,1] = u8/255
         w, h = self.size
         img = center_bottom_crop(img, h, w)
         # the reference divides uint8 by 256 (dataLoader.py:201)
-        return img.astype(np.float32) / 256.0, label
+        return img * (255.0 / 256.0), label
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_last: bool = True):

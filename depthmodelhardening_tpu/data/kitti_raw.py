@@ -61,12 +61,10 @@ class SplitLine:
 
 
 def _load_image(path: str) -> np.ndarray:
-    """PNG/JPG -> float32 HWC in [0, 1]."""
-    from PIL import Image
+    """PNG/JPG -> float32 HWC in [0, 1] (native decoder, PIL fallback)."""
+    from ..native import load_image
 
-    with open(path, "rb") as f:
-        img = Image.open(f).convert("RGB")
-        return np.asarray(img, dtype=np.float32) / 255.0
+    return load_image(path)
 
 
 def _resize_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -77,6 +75,13 @@ def _resize_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
     pil = Image.fromarray((img * 255.0).astype(np.uint8))
     out = pil.resize((w, h), Image.BILINEAR)
     return np.asarray(out, dtype=np.float32) / 255.0
+
+
+def load_image_resized(path: str, h: int, w: int) -> np.ndarray:
+    """Fused native decode+resize (PIL fallback)."""
+    from ..native import load_resized
+
+    return load_resized(path, h, w)
 
 
 class KittiRawDataset:
@@ -109,8 +114,9 @@ class KittiRawDataset:
 
     def get_color(self, folder: str, frame_index: int,
                   side: str) -> np.ndarray:
-        img = _load_image(self.image_path(folder, frame_index, side))
-        return _resize_np(img, self.ori_h, self.ori_w)
+        return load_image_resized(
+            self.image_path(folder, frame_index, side),
+            self.ori_h, self.ori_w)
 
     def get_depth(self, folder: str, frame_index: int,
                   side: str) -> np.ndarray:
