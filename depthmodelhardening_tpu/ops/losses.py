@@ -17,13 +17,15 @@ from .ssim import ssim
 
 
 def reprojection_loss(pred, target, use_ssim: bool = True):
-    """Per-pixel reprojection loss map (B, H, W, 1)."""
-    abs_diff = jnp.abs(target - pred)
-    l1 = jnp.mean(abs_diff, axis=-1, keepdims=True)
+    """Per-pixel reprojection loss map (B, H, W, 1).
+
+    On TPU the SSIM+L1 composition runs as one fused Pallas kernel
+    (ops/pallas_reproj.py); elsewhere as jnp."""
     if not use_ssim:
-        return l1
-    ssim_map = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
-    return 0.85 * ssim_map + 0.15 * l1
+        return jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    from .pallas_reproj import reprojection_loss_auto
+
+    return reprojection_loss_auto(pred, target)
 
 
 def smooth_loss(disp, img):

