@@ -211,3 +211,209 @@ def gn(images, rng=None, std=0.1):
 def vanila(images):
     """torchattacks/attacks/vanila.py: identity."""
     return images
+
+
+def cw(logits_fn, variables, images, labels, c=1.0, kappa=0.0,
+       steps=50, lr=0.01, targeted=False):
+    """torchattacks/attacks/cw.py: Carlini-Wagner L2 in tanh space with
+    the f6 margin objective; Adam on the tanh-space variable."""
+    import optax
+
+    w0 = jnp.arctanh(jnp.clip(images * 2.0 - 1.0, -1 + 1e-6, 1 - 1e-6))
+
+    def decode(w):
+        return (jnp.tanh(w) + 1.0) / 2.0
+
+    def f_margin(logits):
+        one_hot = jax.nn.one_hot(labels, logits.shape[-1])
+        real = jnp.sum(one_hot * logits, axis=1)
+        other = jnp.max(logits - one_hot * 1e4, axis=1)
+        if targeted:
+            return jnp.maximum(other - real, -kappa)
+        return jnp.maximum(real - other, -kappa)
+
+    def loss_fn(w):
+        adv = decode(w)
+        l2 = jnp.sum((adv - images) ** 2, axis=(1, 2, 3))
+        return jnp.sum(l2 + c * f_margin(logits_fn(variables, adv)))
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(w0)
+
+    def body(_, carry):
+        w, opt_state, best, best_l2 = carry
+        g = jax.grad(loss_fn)(w)
+        updates, opt_state = tx.update(g, opt_state, w)
+        w = optax.apply_updates(w, updates)
+        adv = decode(w)
+        l2 = jnp.sum((adv - images) ** 2, axis=(1, 2, 3))
+        logits = logits_fn(variables, adv)
+        pred = jnp.argmax(logits, axis=1)
+        succ = (pred == labels) if targeted else (pred != labels)
+        better = succ & (l2 < best_l2)
+        best = jnp.where(better[:, None, None, None], adv, best)
+        best_l2 = jnp.where(better, l2, best_l2)
+        return w, opt_state, best, best_l2
+
+    init = (w0, opt_state, images, jnp.full((images.shape[0],), 1e10))
+    _, _, best, _ = jax.lax.fori_loop(0, steps, body, init)
+    return best
+
+
+def deepfool(logits_fn, variables, images, labels, steps=50,
+             overshoot=0.02):
+    """torchattacks/attacks/deepfool.py: iterative minimal L2 push over
+    the nearest decision boundary (batch-vectorized)."""
+
+    def one(img, label):
+        def cond(carry):
+            i, x, done = carry
+            return (i < steps) & (~done)
+
+        def body(carry):
+            i, x, _ = carry
+            logits, jac = logits_fn(variables, x[None])[0], None
+            jac = jax.jacobian(
+                lambda a: logits_fn(variables, a[None])[0])(x)
+            nc = logits.shape[-1]
+            fk = logits - logits[label]
+            wk = jac - jac[label]
+            wk_flat = wk.reshape(nc, -1)
+            norms = jnp.linalg.norm(wk_flat, axis=1) + 1e-8
+            dist = jnp.abs(fk) / norms
+            dist = dist.at[label].set(jnp.inf)
+            l = jnp.argmin(dist)
+            r = (jnp.abs(fk[l]) / (norms[l] ** 2)) * wk[l]
+            x = jnp.clip(x + (1 + overshoot) * r, 0.0, 1.0)
+            done = jnp.argmax(
+                logits_fn(variables, x[None])[0]) != label
+            return i + 1, x, done
+
+        _, x, _ = jax.lax.while_loop(
+            cond, body, (0, img, jnp.asarray(False)))
+        return x
+
+    return jax.vmap(one)(images, labels)
+
+
+def difgsm(logits_fn, variables, images, labels, eps=8 / 255,
+           alpha=2 / 255, steps=10, decay=0.0, resize_rate=0.9,
+           diversity_prob=0.5, rng=None, targeted=False):
+    """torchattacks/attacks/difgsm.py: MI-FGSM with random
+    resize+pad input diversity at each step."""
+    from ..ops.resize import bilinear_resize
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    B, H, W, C = images.shape
+    low = int(H * resize_rate) if resize_rate < 1 else H
+
+    def diversify(x, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        # static resize target (the reference samples it; one draw per
+        # attack keeps shapes static under jit)
+        rnd = low
+        small = bilinear_resize(x, rnd, int(W * resize_rate))
+        ph = H - small.shape[1]
+        pw = W - small.shape[2]
+        top = jax.random.randint(k1, (), 0, ph + 1)
+        left = jax.random.randint(k2, (), 0, pw + 1)
+        padded = jnp.zeros_like(x)
+        padded = jax.lax.dynamic_update_slice(
+            padded, small, (0, top, left, 0))
+        use = jax.random.uniform(k3, ()) < diversity_prob
+        return jnp.where(use, padded, x)
+
+    def body(i, carry):
+        adv, momentum = carry
+        key = jax.random.fold_in(rng, i)
+
+        def loss(a):
+            l = jnp.mean(_ce(logits_fn(variables, diversify(a, key)),
+                             labels))
+            return -l if targeted else l
+
+        g = jax.grad(loss)(adv)
+        g = g / (jnp.mean(jnp.abs(g), axis=(1, 2, 3),
+                          keepdims=True) + 1e-12)
+        g = g + decay * momentum
+        adv = adv + alpha * jnp.sign(g)
+        delta = jnp.clip(adv - images, -eps, eps)
+        return jnp.clip(images + delta, 0.0, 1.0), g
+
+    adv, _ = jax.lax.fori_loop(0, steps, body,
+                               (images, jnp.zeros_like(images)))
+    return adv
+
+
+def jitter(logits_fn, variables, images, labels, eps=8 / 255,
+           alpha=2 / 255, steps=10, scale=10.0, std=0.1, rng=None):
+    """torchattacks/attacks/jitter.py: PGD on the Jitter loss (scaled
+    softmax-normalized logits + noise, MSE to one-hot, L2-normalized by
+    perturbation size)."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    B = images.shape[0]
+    adv = jnp.clip(images + jax.random.uniform(
+        rng, images.shape, minval=-eps, maxval=eps), 0.0, 1.0)
+
+    def body(i, adv):
+        key = jax.random.fold_in(rng, 1000 + i)
+
+        def loss(a):
+            logits = logits_fn(variables, a)
+            norm_z = jnp.linalg.norm(logits, axis=1, keepdims=True)
+            hat_z = jax.nn.softmax(scale * logits / (norm_z + 1e-12))
+            hat_z = hat_z + std * jax.random.normal(key, hat_z.shape)
+            one_hot = jax.nn.one_hot(labels, logits.shape[-1])
+            f = jnp.mean((hat_z - one_hot) ** 2, axis=1)
+            delta = (a - images).reshape(B, -1)
+            dn = jnp.linalg.norm(delta, axis=1)
+            f = jnp.where(dn > 0, f / (dn + 1e-12), f)
+            return jnp.mean(f)
+
+        g = jax.grad(loss)(adv)
+        adv = adv + alpha * jnp.sign(g)
+        delta = jnp.clip(adv - images, -eps, eps)
+        return jnp.clip(images + delta, 0.0, 1.0)
+
+    return jax.lax.fori_loop(0, steps, body, adv)
+
+
+def upgd(logits_fn, variables, images, labels, eps=8 / 255,
+         alpha=2 / 255, steps=10, decay=1.0, rng=None, targeted=False,
+         random_start=False, loss_type="ce"):
+    """torchattacks/attacks/upgd.py: "ultimate" PGD — momentum +
+    optional margin loss."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    adv = images
+    if random_start:
+        adv = jnp.clip(images + jax.random.uniform(
+            rng, images.shape, minval=-eps, maxval=eps), 0.0, 1.0)
+
+    def margin_loss(logits):
+        one_hot = jax.nn.one_hot(labels, logits.shape[-1])
+        real = jnp.sum(one_hot * logits, axis=1)
+        other = jnp.max(logits - one_hot * 1e4, axis=1)
+        return jnp.mean(other - real)
+
+    def body(_, carry):
+        adv, momentum = carry
+
+        def loss(a):
+            logits = logits_fn(variables, a)
+            if loss_type == "margin":
+                l = margin_loss(logits)
+            else:
+                l = jnp.mean(_ce(logits, labels))
+            return -l if targeted else l
+
+        g = jax.grad(loss)(adv)
+        g = g / (jnp.mean(jnp.abs(g), axis=(1, 2, 3),
+                          keepdims=True) + 1e-12)
+        g = g + decay * momentum
+        adv = adv + alpha * jnp.sign(g)
+        delta = jnp.clip(adv - images, -eps, eps)
+        return jnp.clip(images + delta, 0.0, 1.0), g
+
+    adv, _ = jax.lax.fori_loop(0, steps, body,
+                               (adv, jnp.zeros_like(images)))
+    return adv

@@ -86,3 +86,31 @@ def test_targeted_mode_moves_toward_target(model, data):
     t_clean = _acc(logits_fn, v, x, target)
     t_adv = _acc(logits_fn, v, adv, target)
     assert t_adv >= t_clean
+
+
+def test_cw_reduces_accuracy(model, data):
+    logits_fn, v = model
+    x, y = data
+    adv = atk.cw(logits_fn, v, x, y, c=5.0, steps=30, lr=0.05)
+    assert np.asarray(adv).min() >= 0 and np.asarray(adv).max() <= 1
+    assert _acc(logits_fn, v, adv, y) <= _acc(logits_fn, v, x, y)
+
+
+def test_deepfool_flips_labels(model, data):
+    logits_fn, v = model
+    x, _ = data
+    y = jnp.argmax(logits_fn(v, x), 1)  # start from model's own labels
+    adv = atk.deepfool(logits_fn, v, x, y, steps=20)
+    acc = float(jnp.mean(jnp.argmax(logits_fn(v, adv), 1) == y))
+    assert acc < 1.0
+
+
+def test_difgsm_jitter_upgd_box(model, data):
+    logits_fn, v = model
+    x, y = data
+    for fn, kw in ((atk.difgsm, dict(steps=3)),
+                   (atk.jitter, dict(steps=3)),
+                   (atk.upgd, dict(steps=3))):
+        adv = fn(logits_fn, v, x, y, eps=0.1, alpha=0.05, **kw)
+        d = np.abs(np.asarray(adv - x))
+        assert d.max() <= 0.1 + 1e-6, fn.__name__
