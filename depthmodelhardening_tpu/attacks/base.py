@@ -67,6 +67,9 @@ class PhysObjAttackConfig:
     exact_composite: bool = False
     tile_h: int = 256
     tile_w: int = 256
+    # texture-gradient adjoint for the tiled path: "approx" (fast
+    # continuous adjoint, default) | "exact" | "scatter" (autodiff)
+    adjoint_mode: str = "approx"
 
     def make_eot(self) -> EoTCompositor:
         P = self.projection
@@ -149,7 +152,8 @@ class PhysObjAttack:
             scenes_model, obj_adv, self.obj_mask, z0s, alphas,
             model_h=self.cfg.scene_h, model_w=self.cfg.scene_w,
             tile_h=min(self.cfg.tile_h, self.cfg.scene_h),
-            tile_w=min(self.cfg.tile_w, self.cfg.scene_w))
+            tile_w=min(self.cfg.tile_w, self.cfg.scene_w),
+            adjoint_mode=self.cfg.adjoint_mode)
 
     def _targeted_cost(self, variables, adv_scenes, masks):
         """Targeted zero-disparity MSE inside the object mask

@@ -219,6 +219,123 @@ def perspective_warp(img, startpoints, endpoints, out_hw: Tuple[int, int]):
     return jax.vmap(one)(img, startpoints, endpoints)
 
 
+def perspective_apply(coeffs, xs, ys):
+    """Apply the 8-coeff map to continuous pixel coords (same half-pixel
+    convention as perspective_src_coords): returns mapped (x, y)."""
+    a, b, c, d, e, f, g, h = [coeffs[i] for i in range(8)]
+    X = xs + 0.5
+    Y = ys + 0.5
+    denom = g * X + h * Y + 1.0
+    return (a * X + b * Y + c) / denom - 0.5, \
+        (d * X + e * Y + f) / denom - 0.5
+
+
+def perspective_jacobian_det(coeffs, xs, ys):
+    """|det d(mapped)/d(input)| of the 8-coeff map at pixel coords."""
+    a, b, c, d, e, f, g, h = [coeffs[i] for i in range(8)]
+    X = xs + 0.5
+    Y = ys + 0.5
+    D = g * X + h * Y + 1.0
+    u = a * X + b * Y + c
+    v = d * X + e * Y + f
+    dXdx = (a * D - u * g)
+    dXdy = (b * D - u * h)
+    dYdx = (d * D - v * g)
+    dYdy = (e * D - v * h)
+    return jnp.abs(dXdx * dYdy - dXdy * dYdx) / (D ** 4)
+
+
+def _gather2d(img, iy, ix):
+    """img (H, W, C); iy/ix int arrays (...,) -> (..., C) gather."""
+    H, W = img.shape[:2]
+    flat = img.reshape(H * W, -1)
+    idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    return jnp.take(flat, idx, axis=0)
+
+
+def make_tile_sampler(obj_h: int, obj_w: int, tile_h: int, tile_w: int,
+                      k_adj: int = 6, mode: str = "approx"):
+    """Bilinear tile sampler with fast texture adjoints.
+
+    Forward (all modes): standard zero-fill bilinear sample of the
+    object at the tile's per-pixel source coords (the EoT warp).
+
+    Backward w.r.t. the texture — XLA's autodiff adjoint of a gather is
+    a scatter-add that runs ~5x slower than the forward on TPU
+    (measured: 64 ms fwd vs ~340 ms adjoint at batch 32):
+
+      * "scatter": plain autodiff (the reference-equivalent exact
+        gradient, matching torch grid_sample backward).
+      * "exact": gather-form exact adjoint — every object pixel gathers
+        the k_adj^2 tile pixels whose bilinear support can reach it
+        (window centered at its inverse-homography image); equals the
+        scatter gradient bit-for-near (valid while magnification stays
+        under ~k_adj/2 - 1, true for z0 >= 5 m geometry). Measured
+        slower than scatter at k_adj=6 — kept for verification.
+      * "approx" (default): continuous-operator adjoint — one jacobian-
+        determinant-weighted bilinear gather of the cotangent at the
+        inverse-mapped position:
+            d_obj[q] ~= |det dJ p/dq| * g(c(q))
+        This is the adjoint of the underlying *continuous* warp; it
+        differs from the discrete-bilinear adjoint by sub-pixel kernel
+        weighting (and spreads gradient smoothly where minification
+        makes the exact adjoint sparse). Attack optimizers (FGSM-sign,
+        Adam) are insensitive to this reweighting; exact modes remain
+        for parity checks.
+    """
+
+    def _forward(obj, sx, sy):
+        return bilinear_sample_pixels(obj[None], sx[None], sy[None],
+                                      padding_mode="zeros")[0]
+
+    @jax.custom_vjp
+    def sample(obj, sx, sy, cx, cy, detj):
+        return _forward(obj, sx, sy)
+
+    def fwd(obj, sx, sy, cx, cy, detj):
+        return _forward(obj, sx, sy), (sx, sy, cx, cy, detj)
+
+    def bwd_exact(res, g):
+        sx, sy, cx, cy, _ = res
+        stacked = jnp.concatenate(
+            [g, sx[..., None], sy[..., None]], axis=-1)
+        C = g.shape[-1]
+        qx = jnp.arange(obj_w, dtype=jnp.float32)[None, :]
+        qy = jnp.arange(obj_h, dtype=jnp.float32)[:, None]
+        px0 = jnp.floor(cx).astype(jnp.int32) - (k_adj // 2 - 1)
+        py0 = jnp.floor(cy).astype(jnp.int32) - (k_adj // 2 - 1)
+
+        acc = jnp.zeros((obj_h, obj_w, C), jnp.float32)
+        for dy in range(k_adj):
+            for dx in range(k_adj):
+                py = py0 + dy
+                px = px0 + dx
+                valid = ((py >= 0) & (py < tile_h) &
+                         (px >= 0) & (px < tile_w))
+                tap = _gather2d(stacked, py, px)
+                gs, sxs, sys = tap[..., :C], tap[..., C], tap[..., C + 1]
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(sxs - qx)) * \
+                    jnp.maximum(0.0, 1.0 - jnp.abs(sys - qy)) * \
+                    valid.astype(jnp.float32)
+                acc = acc + gs * w[..., None]
+        return (acc, None, None, None, None, None)
+
+    def bwd_approx(res, g):
+        sx, sy, cx, cy, detj = res
+        d = bilinear_sample_pixels(g[None], cx[None], cy[None],
+                                   padding_mode="zeros")[0]
+        return (d * detj[..., None], None, None, None, None, None)
+
+    sample.defvjp(fwd, bwd_exact if mode == "exact" else bwd_approx)
+
+    if mode == "scatter":
+        def scatter_sample(obj, sx, sy, cx, cy, detj):
+            return _forward(obj, sx, sy)
+
+        return scatter_sample
+    return sample
+
+
 @dataclasses.dataclass(frozen=True)
 class EoTConfig:
     """Static EoT configuration (compile-time constants)."""
@@ -327,7 +444,8 @@ class EoTCompositor:
     def composite_tiled_model(self, scenes_model, obj, mask, z0s, alphas,
                               model_h: int, model_w: int,
                               tile_h: int = 256, tile_w: int = 256,
-                              T: Optional[jnp.ndarray] = None):
+                              T: Optional[jnp.ndarray] = None,
+                              adjoint_mode: str = "approx"):
         """Warp + composite directly at model resolution inside a small
         tile around the object quad.
 
@@ -348,6 +466,7 @@ class EoTCompositor:
         """
         B = z0s.shape[0]
         C = obj.shape[-1]
+        oh, ow = self.cfg.obj_h, self.cfg.obj_w
         sx_f = model_w / self.cfg.scene_w
         sy_f = model_h / self.cfg.scene_h
         stacked = jnp.concatenate(
@@ -357,6 +476,12 @@ class EoTCompositor:
         l_pad = self.startpoints[0, 0]
         t_pad = self.startpoints[0, 1]
         sp_local = jnp.asarray(self.startpoints)
+        sampler = make_tile_sampler(oh, ow, tile_h, tile_w,
+                                    mode=adjoint_mode)
+        qx_pad = jnp.arange(ow, dtype=jnp.float32)[None, :] + l_pad
+        qy_pad = jnp.arange(oh, dtype=jnp.float32)[:, None] + t_pad
+        qx_pad = jnp.broadcast_to(qx_pad, (oh, ow))
+        qy_pad = jnp.broadcast_to(qy_pad, (oh, ow))
 
         def one(scene_b, img_b, z0, alpha, T_b):
             ep = self.corners(z0, alpha, T_b)
@@ -371,9 +496,13 @@ class EoTCompositor:
                           0.0, model_w - tile_w)
             sxc, syc = perspective_src_coords(coeffs, tile_h, tile_w,
                                               y0=y0, x0=x0)
-            tile = bilinear_sample_pixels(
-                img_b[None], (sxc - l_pad)[None], (syc - t_pad)[None],
-                padding_mode="zeros")[0]
+            # inverse map: object pixel -> tile-local position (window
+            # centers / gather positions for the custom adjoints)
+            coeffs_inv = solve_homography(sp_local, ep_m)
+            cxg, cyg = perspective_apply(coeffs_inv, qx_pad, qy_pad)
+            detj = perspective_jacobian_det(coeffs_inv, qx_pad, qy_pad)
+            tile = sampler(img_b, sxc - l_pad, syc - t_pad,
+                           cxg - x0, cyg - y0, detj)
             obj_t, m_t = tile[..., :C], tile[..., C:]
             start = (y0.astype(jnp.int32), x0.astype(jnp.int32), 0)
             scene_t = jax.lax.dynamic_slice(
