@@ -104,16 +104,22 @@ def synthesize_adv_batch(
     T_cur = jnp.where(sel, T_id, T_st)
     T_oth = jnp.where(sel, T_st, T_id)
 
-    adv_cur, mask_cur = eot.warp_obj_mask(obj_adv, obj_mask, z0s, alphas,
-                                          T=T_cur)
-    ben_oth, mask_oth = eot.warp_obj_mask(obj_ben, obj_mask, z0s, alphas,
-                                          T=T_oth)
-    ben_cur, mask_ben_cur = eot.warp_obj_mask(obj_ben, obj_mask, z0s,
-                                              alphas, T=T_cur)
+    oh_, ow_ = eot.cfg.scene_h, eot.cfg.scene_w
+    # tile sized for the closest training distance (z0 >= 5 m the quad
+    # spans <= ~230x270 px at native res) and clamped to the scene
+    th = min(248, oh_ - oh_ % 8 if oh_ % 8 else oh_)
+    tw = min(296, ow_ - ow_ % 8 if ow_ % 8 else ow_)
 
-    cur_adv = eot.composite(frames["0"], adv_cur, mask_cur)
-    cur_ben = eot.composite(frames["0"], ben_cur, mask_ben_cur)
-    oth_ben = eot.composite(frames["s"], ben_oth, mask_oth)
+    def tiled(scene, tex, T):
+        # same composite as warp->alpha blend at native res, evaluated
+        # only on a tile around the quad (physics/eot.py fast path)
+        return eot.composite_tiled_model(
+            scene, tex, obj_mask, z0s, alphas, model_h=oh_, model_w=ow_,
+            tile_h=th, tile_w=tw, T=T)
+
+    cur_adv, mask_cur = tiled(frames["0"], obj_adv, T_cur)
+    oth_ben, mask_oth = tiled(frames["s"], obj_ben, T_oth)
+    cur_ben, mask_ben_cur = tiled(frames["0"], obj_ben, T_cur)
 
     if adv_cfg.half_no_synthesis:
         synth = jax.random.bernoulli(k_half, 0.5, (B,))
