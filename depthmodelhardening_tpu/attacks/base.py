@@ -169,24 +169,45 @@ class PhysObjAttack:
 
     def _final_outputs(self, scenes_full, obj_adv, rng, eval_mode: bool):
         """Final projection with pinned eval sample; benign composite uses
-        the adversarial masks (phy_obj_atk.py:114-121)."""
+        the adversarial masks (phy_obj_atk.py:114-121).
+
+        Uses the exact warp-at-native-then-resize chain in eval mode or
+        when cfg.exact_composite — reference-faithful composites for the
+        metric pipeline; training-time finals (consumed as data by the
+        distill/hardening losses) take the tiled fast path."""
         batch = scenes_full.shape[0]
         z0s, alphas = self._final_za(rng, batch)
         if eval_mode:
             z0s = z0s.at[0].set(self.cfg.eval_pin_z0)
             alphas = alphas.at[0].set(self.cfg.eval_pin_alpha)
 
-        obj_adv_s, mask_s = self.eot.warp_obj_mask(
-            obj_adv, self.obj_mask, z0s, alphas)
-        obj_ben_s, _ = self.eot.warp_obj_mask(
-            self.obj_img, self.obj_mask, z0s, alphas)
+        if eval_mode or self.cfg.exact_composite:
+            obj_adv_s, mask_s = self.eot.warp_obj_mask(
+                obj_adv, self.obj_mask, z0s, alphas)
+            obj_ben_s, _ = self.eot.warp_obj_mask(
+                self.obj_img, self.obj_mask, z0s, alphas)
 
-        adv_full = self.eot.composite(scenes_full, obj_adv_s, mask_s)
-        ben_full = self.eot.composite(scenes_full, obj_ben_s, mask_s)
+            adv_full = self.eot.composite(scenes_full, obj_adv_s, mask_s)
+            ben_full = self.eot.composite(scenes_full, obj_ben_s, mask_s)
 
-        adv = bilinear_resize(adv_full, self.cfg.scene_h, self.cfg.scene_w)
-        ben = bilinear_resize(ben_full, self.cfg.scene_h, self.cfg.scene_w)
-        masks = bilinear_resize(mask_s, self.cfg.scene_h, self.cfg.scene_w)
+            adv = bilinear_resize(adv_full, self.cfg.scene_h,
+                                  self.cfg.scene_w)
+            ben = bilinear_resize(ben_full, self.cfg.scene_h,
+                                  self.cfg.scene_w)
+            masks = bilinear_resize(mask_s, self.cfg.scene_h,
+                                    self.cfg.scene_w)
+            return adv, ben, masks
+
+        scenes_model = bilinear_resize(scenes_full, self.cfg.scene_h,
+                                       self.cfg.scene_w)
+        kw = dict(model_h=self.cfg.scene_h, model_w=self.cfg.scene_w,
+                  tile_h=min(self.cfg.tile_h, self.cfg.scene_h),
+                  tile_w=min(self.cfg.tile_w, self.cfg.scene_w),
+                  adjoint_mode=self.cfg.adjoint_mode)
+        adv, masks = self.eot.composite_tiled_model(
+            scenes_model, obj_adv, self.obj_mask, z0s, alphas, **kw)
+        ben, _ = self.eot.composite_tiled_model(
+            scenes_model, self.obj_img, self.obj_mask, z0s, alphas, **kw)
         return adv, ben, masks
 
     # -- subclass hook ---------------------------------------------------------

@@ -5,3 +5,9 @@ from .clean_eval import (  # noqa: F401
     CleanEvalConfig, batch_post_process_disparity, eigen_crop_mask,
     evaluate_clean,
 )
+from .pose_eval import (  # noqa: F401
+    compute_ate, dump_xyz, trajectory_ates,
+)
+from .sweeps import (  # noqa: F401
+    attack_steps_sweep, crosscheck_matrix, objects_sweep, physical_eval,
+)
