@@ -106,7 +106,9 @@ def cmd_eval_attacks(args):
         norm_type=args.norm_type, epsilon=args.epsilon,
         alpha=args.alpha, step=args.step, adam_lr=args.adam_lr,
         mask_wt=args.mask_wt, l0_thresh=args.l0_thresh,
-        batch_size=args.batch_size, eval_count=args.eval_count)
+        batch_size=args.batch_size, eval_count=args.eval_count,
+        scene_h=args.height, scene_w=args.width,
+        ori_h=args.ori_h, ori_w=args.ori_w)
     attack = build_attack(cfg, predictor.apply_fn, jnp.asarray(obj),
                           jnp.asarray(car_mask))
     dataset = KittiObjectScenes(args.object_data_root, mode="val",
@@ -312,6 +314,8 @@ def build_parser():
     pe.add_argument("--l0-thresh", type=float, default=0.1)
     pe.add_argument("--batch-size", type=int, default=12)
     pe.add_argument("--eval-count", type=int, default=10)
+    pe.add_argument("--ori-h", type=int, default=375)
+    pe.add_argument("--ori-w", type=int, default=1242)
     pe.add_argument("--train-list", default="trainval.txt")
     pe.add_argument("--val-list", default="test.txt")
     pe.set_defaults(fn=cmd_eval_attacks)

@@ -77,11 +77,20 @@ def seperate_sets(root_dir: str, fn: str, seed: int = 1234,
 
 def center_bottom_crop(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """dataLoader.py:180-190: crop width-centered, anchored to the
-    bottom (the sky is cut, the road kept)."""
+    bottom (the sky is cut, the road kept). Like PIL's crop, regions
+    outside the image are zero-filled (smaller-than-target inputs pad
+    instead of silently returning the wrong shape)."""
     H, W = img.shape[:2]
     left = (W - w) // 2
     top = H - h
-    return img[top:H, left:left + w]
+    out = np.zeros((h, w) + img.shape[2:], img.dtype)
+    src_y0, src_x0 = max(top, 0), max(left, 0)
+    dst_y0, dst_x0 = max(-top, 0), max(-left, 0)
+    ch = min(H - src_y0, h - dst_y0)
+    cw = min(W - src_x0, w - dst_x0)
+    out[dst_y0:dst_y0 + ch, dst_x0:dst_x0 + cw] = \
+        img[src_y0:src_y0 + ch, src_x0:src_x0 + cw]
+    return out
 
 
 class KittiObjectScenes:

@@ -175,9 +175,12 @@ def evaluate_attacks(predictor, attack, scenes_iter: Iterable,
 
 def iter_eval_scenes(dataset, cfg: AttackEvalConfig):
     """Scene batches from KittiObjectScenes starting at start_idx
-    (evaluate_depth.py:154-171: sequential val batches, no shuffle)."""
-    idx = cfg.start_idx
+    (evaluate_depth.py:154-171: sequential val batches, no shuffle).
+    Indices wrap for datasets smaller than start_idx + count*batch."""
+    n = len(dataset)
+    idx = cfg.start_idx % n
     for _ in range(cfg.eval_count):
-        imgs = [dataset[j][0] for j in range(idx, idx + cfg.batch_size)]
+        imgs = [dataset[(idx + j) % n][0]
+                for j in range(cfg.batch_size)]
         idx += cfg.batch_size
         yield np.stack(imgs)
