@@ -106,6 +106,34 @@ def export_reference_pth(save_dir: str, epoch, variables,
     return folder
 
 
+def load_manydepth_reference(weights_folder: str,
+                             height: int = 192, width: int = 640):
+    """Load a ManyDepth weights folder (encoder.pth with the Sequential
+    layer0/layer1 regrouping + min/max_depth_bin metadata, depth.pth)
+    into a ManyDepthModel variables pytree (depth_model.py:108-134).
+
+    Returns (model, variables, meta)."""
+    from ..models.torch_import import (
+        convert_depth_decoder, convert_matching_encoder, load_pth,
+    )
+    from ..models.wrappers import ManyDepthModel
+
+    enc_sd = load_pth(os.path.join(weights_folder, "encoder.pth"))
+    dec_sd = load_pth(os.path.join(weights_folder, "depth.pth"))
+    enc_vars, meta = convert_matching_encoder(enc_sd)
+    dec_vars = convert_depth_decoder(dec_sd)
+    height = int(meta.get("height", height))
+    width = int(meta.get("width", width))
+    model = ManyDepthModel(input_height=height, input_width=width)
+    variables = {
+        "params": {"encoder": enc_vars["params"],
+                   "decoder": dec_vars["params"]},
+        "batch_stats": {"encoder": enc_vars["batch_stats"],
+                        "decoder": {}},
+    }
+    return model, variables, meta
+
+
 def load_reference_pth(weights_folder: str, model, height: int = 320,
                        width: int = 1024):
     """Load reference weights_*/encoder.pth + depth.pth into a

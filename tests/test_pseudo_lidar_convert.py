@@ -139,3 +139,62 @@ def test_convert_matching_encoder_roundtrip():
     got_s = _flatten(converted["batch_stats"])
     want_s = _flatten(variables["batch_stats"])
     assert set(got_s.keys()) == set(want_s.keys())
+
+
+def test_load_manydepth_reference(tmp_path):
+    """File-level ManyDepth checkpoint load: converted variables must
+    drive the model to finite disparities."""
+    import torch
+
+    from depthmodelhardening_tpu.models.wrappers import (
+        ManyDepthModel, quarter_intrinsics,
+    )
+    from depthmodelhardening_tpu.training.checkpoints import (
+        load_manydepth_reference,
+    )
+
+    H, W, D = 64, 96, 96
+    enc = ResnetEncoderMatching(num_layers=18, input_height=H,
+                                input_width=W, num_depth_bins=D)
+    rng = jax.random.PRNGKey(0)
+    cur = jnp.zeros((1, H, W, 3))
+    lookup = jnp.zeros((1, 1, H, W, 3))
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    Ke = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    variables = enc.init(rng, cur, lookup, poses, Ke, Ke, train=False)
+
+    sd = {}
+    for col in ("params", "batch_stats"):
+        for path, v in _flatten(variables[col]).items():
+            arr = np.asarray(v)
+            if path[-1] == "kernel":
+                arr = np.transpose(arr, (3, 2, 0, 1))
+            sd[_to_torch_key(path)] = torch.from_numpy(np.array(arr))
+    sd["height"] = H
+    sd["width"] = W
+    sd["min_depth_bin"] = 0.1
+    sd["max_depth_bin"] = 20.0
+    torch.save(sd, tmp_path / "encoder.pth")
+
+    # decoder from a monodepth init
+    from depthmodelhardening_tpu.models.torch_import import (
+        export_depth_decoder,
+    )
+    from depthmodelhardening_tpu.models.wrappers import init_monodepth2
+
+    m2, v2 = init_monodepth2(jax.random.PRNGKey(1), H, W)
+    dec_sd = export_depth_decoder({"params": v2["params"]["decoder"]})
+    torch.save({k: torch.from_numpy(np.array(v))
+                for k, v in dec_sd.items()}, tmp_path / "depth.pth")
+
+    model, vars_, meta = load_manydepth_reference(str(tmp_path))
+    assert meta["height"] == H
+    Kn = np.array([[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0],
+                   [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    K, invK = quarter_intrinsics(Kn, W, H)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, H, W, 3))
+    disp = model.apply(vars_, x, jnp.broadcast_to(K, (1, 4, 4)),
+                       jnp.broadcast_to(invK, (1, 4, 4)),
+                       min_depth_bin=0.1, max_depth_bin=20.0)
+    assert disp.shape == (1, H, W, 1)
+    assert np.isfinite(np.asarray(disp)).all()
