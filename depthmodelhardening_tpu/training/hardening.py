@@ -347,3 +347,28 @@ class HardeningTrainer:
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         return self._selfsup_step(state, batch, rng)
+
+    def evaluate_attacks(self, state, scenes_iter, eval_cfg=None,
+                         rng=None):
+        """Periodic robustness check on the in-training student
+        (trainer.py:435-470 val() -> evaluate_attacks with the l_0 args,
+        eval_count 10). Returns the mean/max metric dict."""
+        from ..evaluation.attack_eval import (
+            AttackEvalConfig, build_attack, evaluate_attacks,
+        )
+        from ..models.wrappers import DepthPredictor
+
+        ss = self.cfg.selfsup
+        eval_cfg = eval_cfg or AttackEvalConfig(
+            norm_type=self.cfg.adv.norm_type, step=self.cfg.adv.steps,
+            adam_lr=self.cfg.adv.adam_lr, mask_wt=self.cfg.adv.mask_wt,
+            l0_thresh=self.cfg.adv.l0_thresh,
+            batch_size=self.cfg.adv.attack_batch_size,
+            scene_h=ss.height, scene_w=ss.width,
+            ori_h=self.cfg.adv.ori_h, ori_w=self.cfg.adv.ori_w)
+        predictor = DepthPredictor(apply_fn=self._student_predict,
+                                   variables=self.student_variables(state))
+        attack = build_attack(eval_cfg, self._student_predict,
+                              self.obj_img, self.obj_mask)
+        return evaluate_attacks(predictor, attack, scenes_iter,
+                                eval_cfg, rng=rng)
