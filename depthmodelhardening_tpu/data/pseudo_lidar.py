@@ -51,6 +51,24 @@ def project_depth_to_points(calib: Calibration, depth: np.ndarray,
     return cloud[valid]
 
 
+def generate_disparity_from_velo(pc_velo: np.ndarray, height: int,
+                                 width: int,
+                                 calib: Calibration) -> np.ndarray:
+    """Velodyne points -> per-pixel disparity map with -1 holes
+    (preprocessing/generate_disp.py:10-26: FOV filter at x > 2 m,
+    rounded pixel coords, disp = f_u * 0.54 / depth — holes become
+    negative disparities exactly as the reference leaves them)."""
+    pts_2d = calib.velo_to_image(pc_velo)
+    fov = ((pts_2d[:, 0] < width - 1) & (pts_2d[:, 0] >= 0) &
+           (pts_2d[:, 1] < height - 1) & (pts_2d[:, 1] >= 0) &
+           (pc_velo[:, 0] > 2))
+    pts_2d = np.round(pts_2d[fov]).astype(int)
+    rect = calib.velo_to_rect(pc_velo[fov])
+    depth_map = np.zeros((height, width)) - 1
+    depth_map[pts_2d[:, 1], pts_2d[:, 0]] = rect[:, 2]
+    return (calib.f_u * BASELINE) / depth_map
+
+
 def save_pseudo_lidar(cloud: np.ndarray, path: str) -> None:
     """Append unit intensity and write KITTI .bin
     (generate_lidar.py:74-77)."""

@@ -198,3 +198,22 @@ def test_load_manydepth_reference(tmp_path):
                        min_depth_bin=0.1, max_depth_bin=20.0)
     assert disp.shape == (1, H, W, 1)
     assert np.isfinite(np.asarray(disp)).all()
+
+
+def test_generate_disparity_from_velo():
+    from depthmodelhardening_tpu.data.pseudo_lidar import (
+        generate_disparity_from_velo,
+    )
+
+    calib = Calibration.default()
+    rs = np.random.RandomState(0)
+    rect = np.stack([rs.uniform(-5, 5, 200), rs.uniform(0, 1.5, 200),
+                     rs.uniform(5, 40, 200)], 1)
+    velo = calib.rect_to_velo(rect)
+    disp = generate_disparity_from_velo(velo, 375, 1242, calib)
+    assert disp.shape == (375, 1242)
+    v = disp[disp > 0]
+    assert len(v) > 50
+    # holes carry the reference's -1-depth convention (negative disp)
+    assert (disp < 0).sum() > 0
+    assert v.max() <= calib.f_u * 0.54 / 5.0 + 1.0
