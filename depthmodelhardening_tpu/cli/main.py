@@ -102,13 +102,23 @@ def cmd_eval_attacks(args):
     model, variables, predictor = _load_predictor(args)
     obj, car_mask, _ = process_car_img(args.object_image,
                                        args.paint_mask_no)
-    cfg = AttackEvalConfig(
-        norm_type=args.norm_type, epsilon=args.epsilon,
-        alpha=args.alpha, step=args.step, adam_lr=args.adam_lr,
-        mask_wt=args.mask_wt, l0_thresh=args.l0_thresh,
-        batch_size=args.batch_size, eval_count=args.eval_count,
-        scene_h=args.height, scene_w=args.width,
-        ori_h=args.ori_h, ori_w=args.ori_w)
+    if args.preset:
+        import dataclasses
+
+        from ..evaluation.presets import EVAL_PRESETS
+
+        cfg = dataclasses.replace(
+            EVAL_PRESETS[args.preset], eval_count=args.eval_count,
+            scene_h=args.height, scene_w=args.width,
+            ori_h=args.ori_h, ori_w=args.ori_w)
+    else:
+        cfg = AttackEvalConfig(
+            norm_type=args.norm_type, epsilon=args.epsilon,
+            alpha=args.alpha, step=args.step, adam_lr=args.adam_lr,
+            mask_wt=args.mask_wt, l0_thresh=args.l0_thresh,
+            batch_size=args.batch_size, eval_count=args.eval_count,
+            scene_h=args.height, scene_w=args.width,
+            ori_h=args.ori_h, ori_w=args.ori_w)
     attack = build_attack(cfg, predictor.apply_fn, jnp.asarray(obj),
                           jnp.asarray(car_mask))
     dataset = KittiObjectScenes(args.object_data_root, mode="val",
@@ -306,6 +316,9 @@ def build_parser():
     pe.add_argument("--object-image", required=True)
     pe.add_argument("--paint-mask-no", default="-2")
     pe.add_argument("--norm-type", default="l_0")
+    pe.add_argument("--preset", default=None,
+                    help="reference eval-zoo preset name "
+                         "(evaluation/presets.py)")
     pe.add_argument("--epsilon", type=float, default=0.1)
     pe.add_argument("--alpha", type=float, default=0.005)
     pe.add_argument("--step", type=int, default=10)
