@@ -254,6 +254,16 @@ def cmd_train_hardening(args):
                                steps_per_epoch=steps_per_epoch,
                                mesh=mesh, init_variables=None)
     state = trainer.make_state()
+    # resume from the latest checkpoint when present (the reference
+    # resumes via --load_weights_folder, trainer.py:787-812)
+    from ..training.checkpoints import latest_step, restore_state
+
+    ckpt_dir = os.path.join(args.log_dir, "ckpts")
+    resume = latest_step(ckpt_dir)
+    if resume is not None:
+        state = restore_state(ckpt_dir, state)
+        print(f"resumed from step {int(state.step)} "
+              f"(checkpoint {resume})")
     save_options(args.log_dir, cfg)
 
     scene_set = KittiObjectScenes(args.object_data_root, mode="train",
