@@ -84,10 +84,10 @@ def get_mean_depth_diff(adv_disp, ben_disp, scene_car_mask=None,
         scene_car_mask = jnp.ones_like(adv_disp)
     dep_adv = jnp.clip(
         disp_to_depth(jnp.abs(adv_disp), 0.1, 100)[1] * scene_car_mask * scaler,
-        a_max=100.0)
+        max=100.0)
     dep_ben = jnp.clip(
         disp_to_depth(jnp.abs(ben_disp), 0.1, 100)[1] * scene_car_mask * scaler,
-        a_max=100.0)
+        max=100.0)
     diff = dep_adv - dep_ben
     if use_abs:
         diff = jnp.abs(diff)

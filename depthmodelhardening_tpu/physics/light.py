@@ -82,23 +82,28 @@ def area_light(alpha, beta, wavelength, w: int = 150, h: int = 150,
     """Area light, shape (h, w, 3): full intensity out to sqrt(beta)
     columns, beta/x^2 beyond (light_simulation.py:87-121). The rotations
     use exact transposes instead of ndimage.rotate."""
-    xs = jnp.arange(w, dtype=jnp.float32)
     full_end = jnp.trunc(jnp.sqrt(beta) + 0.5)
-    atten = jnp.where(xs < full_end, 1.0,
-                      beta / jnp.maximum(xs * xs, 1e-12))
+
+    def atten1d(n):
+        t = jnp.arange(n, dtype=jnp.float32)
+        return jnp.where(t < full_end, 1.0,
+                         beta / jnp.maximum(t * t, 1e-12))
+
     R, G, B = wavelength_to_rgb(wavelength)
     color = jnp.stack([R, G, B]) * alpha
-    light = atten[None, :, None] * color[None, None, :]
-    light = jnp.broadcast_to(light, (h, w, 3))
-    if direction == "left":
-        return light
-    if direction == "right":
-        return light[:, ::-1, :]
-    if direction == "top":
-        return jnp.transpose(light, (1, 0, 2))
-    if direction == "bottom":
-        return jnp.transpose(light, (1, 0, 2))[::-1, :, :]
-    raise ValueError(direction)
+    if direction in ("left", "right"):
+        a = atten1d(w)
+        if direction == "right":
+            a = a[::-1]
+        plane = a[None, :, None]
+    elif direction in ("top", "bottom"):
+        a = atten1d(h)
+        if direction == "bottom":
+            a = a[::-1]
+        plane = a[:, None, None]
+    else:
+        raise ValueError(direction)
+    return jnp.broadcast_to(plane * color[None, None, :], (h, w, 3))
 
 
 def simple_add(base_img, light_pattern, alpha=1.0,

