@@ -130,14 +130,28 @@ def eotpgd(logits_fn, variables, images, labels, eps=8 / 255,
            alpha=2 / 255, steps=10, eot_iter=2, rng=None,
            targeted=False):
     """torchattacks/attacks/eotpgd.py: PGD with gradients averaged over
-    eot_iter stochastic forward passes (here: model assumed
-    deterministic, gradients averaged over jittered inputs)."""
+    eot_iter forward passes. Like the reference, the averaging only
+    matters when the model itself is stochastic (randomized defenses) —
+    pass a logits_fn that consumes a `rng` keyword to make the passes
+    differ; a deterministic model reduces to plain PGD."""
+    import inspect
+
     rng = jax.random.PRNGKey(0) if rng is None else rng
+    stochastic = "rng" in inspect.signature(logits_fn).parameters
     adv = jnp.clip(images + jax.random.uniform(
         rng, images.shape, minval=-eps, maxval=eps), 0.0, 1.0)
 
     def body(i, adv):
         def one(j):
+            if stochastic:
+                key = jax.random.fold_in(rng, i * eot_iter + j + 1)
+
+                def loss(x):
+                    l = jnp.mean(_ce(
+                        logits_fn(variables, x, rng=key), labels))
+                    return -l if targeted else l
+
+                return jax.grad(loss)(adv)
             return _loss_grad(logits_fn, variables, adv, labels,
                               targeted)
 

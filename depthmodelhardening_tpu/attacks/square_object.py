@@ -91,8 +91,8 @@ class SquareObjectAttack(PhysObjAttack):
             kh, kw, ks = jax.random.split(key, 3)
 
             p = self._p_selection(i.astype(jnp.float32))
-            s = jnp.maximum(
-                jnp.round(jnp.sqrt(p * n_features / c)), 1.0)
+            s = jnp.clip(jnp.round(jnp.sqrt(p * n_features / c)),
+                         1.0, min(h, w) - 1.0)
             # uniform integer in [0, dim - s) with traced s
             vh = jnp.floor(jax.random.uniform(kh, ()) *
                            jnp.maximum(h - s, 1.0))

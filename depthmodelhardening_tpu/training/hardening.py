@@ -27,7 +27,6 @@ the psum gradient reductions (the reference is single-GPU, my_utils.py:10).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import flax.struct
@@ -44,7 +43,7 @@ from ..models.pose import PoseDecoder
 from ..models.simsiam import SimSiam
 from ..models.wrappers import MonodepthModel
 from ..ops.geometry import disp_to_depth
-from ..parallel.mesh import make_mesh, shard_batch, replicate
+from ..parallel.mesh import shard_batch, replicate
 from ..physics.eot import TRAIN_DIST_RANGE, monodepth2_K
 from .adv_synth import make_synth_compositor, stereo_T_batch, \
     synthesize_adv_batch
@@ -64,14 +63,8 @@ class TrainState:
 def _scaled_K(height: int, width: int):
     """Normalized Monodepth2 K scaled to model resolution, and its
     pseudo-inverse (mono_dataset.py:332-342)."""
-    K = np.array([[0.58, 0, 0.5, 0],
-                  [0, 1.92, 0.5, 0],
-                  [0, 0, 1, 0],
-                  [0, 0, 0, 1]], dtype=np.float32)
-    K[0, :] *= width
-    K[1, :] *= height
-    inv_K = np.linalg.pinv(K)
-    return K, inv_K
+    K = monodepth2_K(width=width, height=height)
+    return K, np.linalg.pinv(K).astype(np.float32)
 
 
 class HardeningTrainer:
@@ -351,24 +344,38 @@ class HardeningTrainer:
     def evaluate_attacks(self, state, scenes_iter, eval_cfg=None,
                          rng=None):
         """Periodic robustness check on the in-training student
-        (trainer.py:435-470 val() -> evaluate_attacks with the l_0 args,
-        eval_count 10). Returns the mean/max metric dict."""
+        (trainer.py:435-470 val() -> evaluate_attacks with the training
+        attack's own hyperparameters). The attack instance is cached so
+        repeat evaluations reuse its jit cache (the attack inner loop is
+        the most expensive compile in the codebase)."""
         from ..evaluation.attack_eval import (
             AttackEvalConfig, build_attack, evaluate_attacks,
         )
         from ..models.wrappers import DepthPredictor
 
-        ss = self.cfg.selfsup
-        eval_cfg = eval_cfg or AttackEvalConfig(
-            norm_type=self.cfg.adv.norm_type, step=self.cfg.adv.steps,
-            adam_lr=self.cfg.adv.adam_lr, mask_wt=self.cfg.adv.mask_wt,
-            l0_thresh=self.cfg.adv.l0_thresh,
-            batch_size=self.cfg.adv.attack_batch_size,
-            scene_h=ss.height, scene_w=ss.width,
-            ori_h=self.cfg.adv.ori_h, ori_w=self.cfg.adv.ori_w)
+        if eval_cfg is None:
+            if getattr(self, "_eval_cfg", None) is None:
+                ss = self.cfg.selfsup
+                self._eval_cfg = AttackEvalConfig(
+                    norm_type=self.cfg.adv.norm_type,
+                    epsilon=self.cfg.adv.epsilon,
+                    alpha=self.cfg.adv.alpha,
+                    step=self.cfg.adv.steps,
+                    adam_lr=self.cfg.adv.adam_lr,
+                    mask_wt=self.cfg.adv.mask_wt,
+                    l0_thresh=self.cfg.adv.l0_thresh,
+                    obj_name=self.cfg.adv.obj_name,
+                    batch_size=self.cfg.adv.attack_batch_size,
+                    scene_h=ss.height, scene_w=ss.width,
+                    ori_h=self.cfg.adv.ori_h, ori_w=self.cfg.adv.ori_w)
+                self._eval_attack = build_attack(
+                    self._eval_cfg, self._student_predict,
+                    self.obj_img, self.obj_mask)
+            eval_cfg, attack = self._eval_cfg, self._eval_attack
+        else:
+            attack = build_attack(eval_cfg, self._student_predict,
+                                  self.obj_img, self.obj_mask)
         predictor = DepthPredictor(apply_fn=self._student_predict,
                                    variables=self.student_variables(state))
-        attack = build_attack(eval_cfg, self._student_predict,
-                              self.obj_img, self.obj_mask)
         return evaluate_attacks(predictor, attack, scenes_iter,
                                 eval_cfg, rng=rng)
