@@ -232,16 +232,18 @@ def cmd_train_hardening(args):
                                        args.paint_mask_no)
 
     frame_ids = tuple(args.frame_ids.split(","))
+    adv_train = not args.no_adv_train
     cfg = HardeningConfig(
         selfsup=SelfSupConfig(height=args.height, width=args.width,
                               frame_ids=frame_ids),
         adv=AdvSynthConfig(norm_type=args.norm_type, steps=args.step,
                            attack_batch_size=args.attack_batch_size),
-        supervised_adv=args.supervised_adv,
-        contrastive_learning=args.contrastive_learning,
+        supervised_adv=args.supervised_adv and adv_train,
+        contrastive_learning=args.contrastive_learning and adv_train,
         learning_rate=args.lr, batch_size=args.batch_size,
         compute_dtype=args.compute_dtype,
-        use_depth_hints=args.use_depth_hints)
+        use_depth_hints=args.use_depth_hints,
+        model_family=args.model_family)
 
     lines = load_split(args.split_dir, args.split, "train")
     ds = KittiRawDataset(args.data_path, lines, frame_ids=frame_ids)
@@ -249,10 +251,11 @@ def cmd_train_hardening(args):
     loader = PrefetchLoader(ds, cfg.batch_size, collate, seed=args.seed)
     steps_per_epoch = max(len(loader), 1)
 
-    trainer = HardeningTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
-                               car_mask, teacher=teacher,
-                               steps_per_epoch=steps_per_epoch,
-                               mesh=mesh, init_variables=None)
+    trainer = HardeningTrainer(
+        cfg, jax.random.PRNGKey(args.seed), obj, car_mask,
+        teacher=teacher if cfg.supervised_adv else None,
+        steps_per_epoch=steps_per_epoch, mesh=mesh,
+        init_variables=None)
     state = trainer.make_state()
     # resume from the latest checkpoint when present (the reference
     # resumes via --load_weights_folder, trainer.py:787-812)
@@ -275,17 +278,24 @@ def cmd_train_hardening(args):
     step = 0
     for epoch in range(args.epochs):
         for batch in loader:
-            try:
-                scenes, _ = next(scene_iter)
-            except StopIteration:
-                scene_iter = iter(scene_set.batches(
-                    cfg.adv.attack_batch_size, seed=epoch))
-                scenes, _ = next(scene_iter)
-            state, metrics = trainer.train_step(
-                state, batch["frames"],
-                jnp.asarray(batch["side_is_l"]),
-                jnp.asarray(batch["do_flip"]), jnp.asarray(scenes),
-                jax.random.PRNGKey(args.seed * 100003 + step))
+            if adv_train:
+                try:
+                    scenes, _ = next(scene_iter)
+                except StopIteration:
+                    scene_iter = iter(scene_set.batches(
+                        cfg.adv.attack_batch_size, seed=epoch))
+                    scenes, _ = next(scene_iter)
+                state, metrics = trainer.train_step(
+                    state, batch["frames"],
+                    jnp.asarray(batch["side_is_l"]),
+                    jnp.asarray(batch["do_flip"]), jnp.asarray(scenes),
+                    jax.random.PRNGKey(args.seed * 100003 + step))
+            else:
+                state, metrics = trainer.selfsup_frames_step(
+                    state, batch["frames"],
+                    jnp.asarray(batch["side_is_l"]),
+                    jnp.asarray(batch["do_flip"]),
+                    jax.random.PRNGKey(args.seed * 100003 + step))
             if step % args.log_frequency == 0:
                 print(f"epoch {epoch} step {step} " + " ".join(
                     f"{k}={float(v):.5f}" for k, v in metrics.items()))
@@ -393,6 +403,11 @@ def build_parser():
     ph.add_argument("--contrastive-learning", action="store_true",
                     default=True)
     ph.add_argument("--use-depth-hints", action="store_true")
+    ph.add_argument("--no-adv-train", action="store_true",
+                    help="vanilla self-supervised training (the "
+                         "reference trainer with adv_train off)")
+    ph.add_argument("--model-family", default="monodepth2",
+                    choices=["monodepth2", "manydepth"])
     ph.add_argument("--data-parallel", action="store_true")
     ph.add_argument("--log-dir", default="./logs/hardening")
     ph.add_argument("--log-frequency", type=int, default=25)

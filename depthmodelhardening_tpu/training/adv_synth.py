@@ -190,6 +190,29 @@ def _jitter_aug_planes(out, rng, selfsup_cfg):
     return out
 
 
+def build_plain_batch(frames: Dict[str, jnp.ndarray],
+                      side_is_l, do_flip, rng,
+                      selfsup_cfg: SelfSupConfig,
+                      color_aug: bool = True):
+    """Non-adversarial batch: the reference's vanilla Monodepth2 item
+    pipeline (mono_dataset.py:294-350 without the adv hooks) — resized
+    frames as both color and color_aug (with optional per-item jitter on
+    the aug planes), per-item flips applied on device.
+    """
+    H, W = selfsup_cfg.height, selfsup_cfg.width
+    out = {"color": {}, "color_aug": {}}
+    for fid in selfsup_cfg.frame_ids:
+        col = bilinear_resize(_flip_where(frames[fid], do_flip), H, W)
+        out["color"][fid] = col
+        out["color_aug"][fid] = col
+    out["color_ben"] = out["color"]["0"]
+    if color_aug:
+        out = _jitter_aug_planes(out, rng, selfsup_cfg)
+    out.pop("color_ben")
+    out["stereo_T"] = stereo_T_batch(side_is_l, do_flip)
+    return out
+
+
 def stereo_T_batch(side_is_l, do_flip) -> jnp.ndarray:
     """Per-sample normalized stereo extrinsic for the photometric warp
     (mono_dataset.py:367-373): translation 0.1, sign flipped by side and

@@ -150,6 +150,8 @@ class HardeningTrainer:
         self._variables = init_variables or self._init_variables(rng)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._selfsup_step = jax.jit(self._plain_step, donate_argnums=(0,))
+        self._selfsup_frames_step = jax.jit(self._plain_frames_step,
+                                            donate_argnums=(0,))
 
     # -- init -----------------------------------------------------------------
     def _init_variables(self, rng):
@@ -326,6 +328,33 @@ class HardeningTrainer:
             self._losses, has_aux=True)(state.params, state.batch_stats,
                                         batch, rng)
         return self._apply_grads(state, grads, new_bs, metrics)
+
+    def _plain_frames_step(self, state, frames, side_is_l, do_flip,
+                           rng):
+        """Plain self-supervised step straight from raw native-res
+        frames: resize/flip/jitter batch building happens on device
+        (the vanilla Monodepth2 trainer with adv_train=False;
+        supervised_adv/contrastive_learning should be off)."""
+        from .adv_synth import build_plain_batch
+
+        k_b, k_loss = jax.random.split(rng)
+        batch = build_plain_batch(frames, side_is_l, do_flip, k_b,
+                                  self.cfg.selfsup,
+                                  color_aug=self.cfg.adv.color_aug)
+        B = frames["0"].shape[0]
+        batch["K"] = jnp.broadcast_to(self._K, (B, 4, 4))
+        batch["inv_K"] = jnp.broadcast_to(self._inv_K, (B, 4, 4))
+        grads, (new_bs, metrics) = jax.grad(
+            self._losses, has_aux=True)(state.params, state.batch_stats,
+                                        batch, k_loss)
+        return self._apply_grads(state, grads, new_bs, metrics)
+
+    def selfsup_frames_step(self, state, frames, side_is_l, do_flip,
+                            rng):
+        if self.mesh is not None:
+            frames = shard_batch(frames, self.mesh)
+        return self._selfsup_frames_step(state, frames, side_is_l,
+                                         do_flip, rng)
 
     # -- public ---------------------------------------------------------------
     def train_step(self, state, frames, side_is_l, do_flip, scene_imgs,
