@@ -153,7 +153,7 @@ def cmd_eval_clean(args):
             img = np.asarray(Image.fromarray(
                 (img * 255).astype(np.uint8)).resize(
                     (args.width, args.height)), np.float32) / 255.0
-            yield img, gt[i]
+            yield img, np.asarray(gt[i], dtype=np.float32)
 
     cfg = CleanEvalConfig(eval_stereo=not args.eval_mono,
                           post_process=args.post_process)

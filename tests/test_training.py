@@ -259,3 +259,44 @@ def test_hardening_manydepth_family(small_teacher):
                                    jax.random.PRNGKey(3))
     for k in ("loss", "sup_loss", "contras_loss", "selfsup_loss"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_build_plain_batch_and_selfsup_frames_step(small_teacher):
+    """Vanilla (no-adv) training: plain batch building + jitted step."""
+    from depthmodelhardening_tpu.training.adv_synth import (
+        build_plain_batch,
+    )
+
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+    B = 2
+    frames = {"0": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=1))}
+    side = jnp.asarray([True, False])
+    flip = jnp.asarray([False, True])
+    batch = build_plain_batch(frames, side, flip, jax.random.PRNGKey(0),
+                              ss, color_aug=False)
+    assert batch["color"]["0"].shape == (B, H, W, 3)
+    # without jitter, aug planes equal the color planes
+    np.testing.assert_allclose(np.asarray(batch["color_aug"]["0"]),
+                               np.asarray(batch["color"]["0"]))
+    # flipped item really flipped: compare against unflipped build
+    batch_nf = build_plain_batch(frames, side,
+                                 jnp.zeros((B,), bool),
+                                 jax.random.PRNGKey(0), ss,
+                                 color_aug=False)
+    np.testing.assert_allclose(
+        np.asarray(batch["color"]["0"][1]),
+        np.asarray(batch_nf["color"]["0"][1, :, ::-1]), atol=1e-6)
+
+    adv = AdvSynthConfig(ori_h=ORI_H, ori_w=ORI_W)
+    cfg = HardeningConfig(selfsup=ss, adv=adv, batch_size=B,
+                          supervised_adv=False,
+                          contrastive_learning=False)
+    tr = HardeningTrainer(cfg, jax.random.PRNGKey(0),
+                          *make_car_object(OBJ_W, OBJ_H),
+                          teacher=None, steps_per_epoch=10)
+    state = tr.make_state()
+    state, metrics = tr.selfsup_frames_step(state, frames, side, flip,
+                                            jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
