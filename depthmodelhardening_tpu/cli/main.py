@@ -145,14 +145,15 @@ def cmd_eval_clean(args):
                  allow_pickle=True)["data"]
 
     def pairs():
-        from PIL import Image
+        from ..data.kitti_raw import load_image_resized
 
         for i, line in enumerate(ds.lines):
-            img = ds.get_color(line.folder, line.frame_index,
-                               line.side or "l")
-            img = np.asarray(Image.fromarray(
-                (img * 255).astype(np.uint8)).resize(
-                    (args.width, args.height)), np.float32) / 255.0
+            # single direct resize to working resolution, like the
+            # reference evaluator (no native-res intermediate)
+            img = load_image_resized(
+                ds.image_path(line.folder, line.frame_index,
+                              line.side or "l"),
+                args.height, args.width)
             yield img, np.asarray(gt[i], dtype=np.float32)
 
     cfg = CleanEvalConfig(eval_stereo=not args.eval_mono,
@@ -268,6 +269,9 @@ def cmd_train_hardening(args):
         print(f"resumed from step {int(state.step)} "
               f"(checkpoint {resume})")
     save_options(args.log_dir, cfg)
+    # continue the global step count so checkpoint numbering and the
+    # per-step PRNG stream advance instead of replaying from 0
+    step = int(state.step)
 
     scene_set = KittiObjectScenes(args.object_data_root, mode="train",
                                   size=(cfg.adv.ori_w, cfg.adv.ori_h),
@@ -275,7 +279,6 @@ def cmd_train_hardening(args):
                                   val_list=args.val_list)
     scene_iter = iter(scene_set.batches(cfg.adv.attack_batch_size))
 
-    step = 0
     for epoch in range(args.epochs):
         for batch in loader:
             if adv_train:
@@ -398,10 +401,10 @@ def build_parser():
     ph.add_argument("--lr", type=float, default=1e-5)
     ph.add_argument("--epochs", type=int, default=20)
     ph.add_argument("--seed", type=int, default=17)
-    ph.add_argument("--supervised-adv", action="store_true",
-                    default=True)
-    ph.add_argument("--contrastive-learning", action="store_true",
-                    default=True)
+    ph.add_argument("--supervised-adv",
+                    action=argparse.BooleanOptionalAction, default=True)
+    ph.add_argument("--contrastive-learning",
+                    action=argparse.BooleanOptionalAction, default=True)
     ph.add_argument("--use-depth-hints", action="store_true")
     ph.add_argument("--no-adv-train", action="store_true",
                     help="vanilla self-supervised training (the "

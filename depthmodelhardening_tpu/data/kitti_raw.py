@@ -127,13 +127,11 @@ class KittiRawDataset:
                             "velodyne_points", "data",
                             f"{frame_index:010d}.bin")
         depth = generate_depth_map(calib_dir, velo, SIDE_MAP[side])
-        import numpy as _np
-        from scipy import ndimage  # noqa: F401  (zoom-free nn resize)
         # nearest-neighbour resize to native working size
         # (kitti_dataset.py:79-82 uses skimage order=0)
-        ys = ( _np.arange(self.ori_h) * depth.shape[0] / self.ori_h
+        ys = (np.arange(self.ori_h) * depth.shape[0] / self.ori_h
               ).astype(int)
-        xs = ( _np.arange(self.ori_w) * depth.shape[1] / self.ori_w
+        xs = (np.arange(self.ori_w) * depth.shape[1] / self.ori_w
               ).astype(int)
         return depth[ys][:, xs].astype(np.float32)
 

@@ -76,6 +76,17 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """put that re-checks stop so an abandoned iterator (early
+            break) can't leave the producer blocked on a full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for idxs in batches:
@@ -87,8 +98,9 @@ class PrefetchLoader:
                             self.dataset, int(a[0]),
                             np.random.RandomState(int(a[1]))),
                         zip(idxs, seeds)))
-                    q.put(self.collate(items))
-            q.put(None)
+                    if not _put(self.collate(items)):
+                        return
+            _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

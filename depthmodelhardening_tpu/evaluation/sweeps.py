@@ -30,7 +30,7 @@ from .attack_eval import (
 def attack_steps_sweep(predictor, obj_img, obj_mask, make_scenes,
                        cfg: AttackEvalConfig,
                        candi_steps: Sequence[int] = tuple(
-                           range(1, 101, 10))) -> Dict[int, Dict]:
+                           range(1, 102, 10))) -> Dict[int, Dict]:
     """Evaluate the same attack at increasing step counts
     (evaluate_depth_atkSteps.py:194-223; setup_seed(17) per run)."""
     results = {}

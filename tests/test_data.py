@@ -179,3 +179,26 @@ def test_prefetch_loader(raw_tree):
         assert batch["frames"]["0"].shape == (2, ORI_H, ORI_W, 3)
         seen += 1
     assert seen == 2
+
+
+def test_prefetch_loader_early_break_no_hang(raw_tree):
+    """Abandoning iteration must not leave the producer thread blocked
+    (it re-checks the stop flag while the queue is full)."""
+    import threading
+    import time
+
+    root, drive = raw_tree
+    lines = [f"{drive} 1 l"] * 12
+    ds = KittiRawDataset(root, lines, frame_ids=("0",),
+                         ori_h=ORI_H, ori_w=ORI_W)
+    loader = PrefetchLoader(ds, batch_size=2, collate=collate,
+                            num_threads=2, prefetch=1)
+    before = threading.active_count()
+    for i, batch in enumerate(loader):
+        if i == 0:
+            break
+    # give the producer a moment to observe stop and exit
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
