@@ -229,3 +229,53 @@ def test_square_attack_improves_or_keeps(small_model, obj_and_scene):
     delta = np.abs(np.asarray(obj_adv) - np.asarray(obj))
     assert delta.max() <= eps + 1e-5
     assert np.isfinite(np.asarray(adv)).all()
+
+
+def _targeted_cost(model, obj_tex, obj, mask, scenes, cfg, z0=7.0):
+    """Mean masked squared disparity for a fixed EoT placement."""
+    eot = cfg.make_eot()
+    from depthmodelhardening_tpu.ops.resize import bilinear_resize
+
+    z0s = jnp.full((2,), z0)
+    alphas = jnp.zeros((2,))
+    sf = jnp.broadcast_to(scenes, (2,) + scenes.shape[1:])
+    adv_full, mask_full = eot.project_and_composite(sf, obj_tex, mask,
+                                                    z0s, alphas)
+    adv = bilinear_resize(adv_full, cfg.scene_h, cfg.scene_w)
+    m = bilinear_resize(mask_full, cfg.scene_h, cfg.scene_w)
+    disp = model.apply_fn(model.variables, adv)
+    return float(jnp.mean((disp * m) ** 2))
+
+
+def test_pgd_object_attack_reduces_targeted_cost(small_model,
+                                                 obj_and_scene):
+    """The optimized texture must beat the benign texture on the
+    targeted zero-disparity objective at a pinned placement."""
+    from depthmodelhardening_tpu.attacks import PGDObjectAttack
+
+    obj, mask, scenes = obj_and_scene
+    cfg = _cfg()
+    atk = PGDObjectAttack(small_model.apply_fn, obj, mask, cfg,
+                          eps=0.3, alpha=0.05, steps=10)
+    _, _, _, obj_adv = atk(small_model.variables, scenes, 2,
+                           jax.random.PRNGKey(0), eval_mode=True)
+    c_ben = _targeted_cost(small_model, obj, obj, mask, scenes, cfg)
+    c_adv = _targeted_cost(small_model, obj_adv, obj, mask, scenes, cfg)
+    assert c_adv < c_ben, (c_adv, c_ben)
+
+
+def test_l0_attack_reduces_targeted_cost(small_model, obj_and_scene):
+    from depthmodelhardening_tpu.attacks import L0ObjectAttack
+
+    obj, mask, scenes = obj_and_scene
+    cfg = _cfg(eval_pin_z0=6.1)
+    atk = L0ObjectAttack(small_model.apply_fn, obj, mask, cfg,
+                         adam_lr=0.5, steps=5, mask_wt=0.0,
+                         l0_thresh=1.0)
+    _, _, _, obj_adv = atk(small_model.variables, scenes, 2,
+                           jax.random.PRNGKey(0), eval_mode=True)
+    c_ben = _targeted_cost(small_model, obj, obj, mask, scenes, cfg,
+                           z0=6.1)
+    c_adv = _targeted_cost(small_model, obj_adv, obj, mask, scenes,
+                           cfg, z0=6.1)
+    assert c_adv < c_ben, (c_adv, c_ben)
