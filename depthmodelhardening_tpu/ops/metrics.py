@@ -94,6 +94,48 @@ def get_mean_depth_diff(adv_disp, ben_disp, scene_car_mask=None,
     return jnp.sum(diff) / jnp.sum(scene_car_mask)
 
 
+def compute_depth_losses(depth_pred, depth_gt, ori_h: int = 375,
+                         ori_w: int = 1242):
+    """In-training depth-metric monitor (trainer.py:676-704): resize the
+    predicted depth to native resolution, mask to velodyne-valid pixels
+    inside the hard garg/eigen crop (rows 153:371, cols 44:1197),
+    median-scale, clamp [1e-3, 80], and return the 7 metrics computed
+    with zero-weighted invalid pixels (mask-weighted means — batch-mean
+    like the reference, jit-friendly since the mask stays dense).
+
+    depth_pred: (B, h, w, 1); depth_gt: (B, ori_h, ori_w, 1) with 0 at
+    missing returns. Returns dict of scalars keyed like the reference's
+    depth_metric_names ("de/abs_rel", ..., "da/a3").
+    """
+    from .resize import bilinear_resize
+
+    pred = jnp.clip(bilinear_resize(depth_pred, ori_h, ori_w),
+                    1e-3, 80.0)
+    mask = (depth_gt > 0).astype(pred.dtype)
+    crop = jnp.zeros((ori_h, ori_w), pred.dtype
+                     ).at[153:371, 44:1197].set(1.0)
+    mask = mask * crop[None, :, :, None]
+
+    total = jnp.sum(mask)
+    # median scaling on the masked values: use a large fill so invalid
+    # pixels don't perturb the (approximate) masked median
+    def masked_median(x):
+        big = jnp.where(mask > 0, x, jnp.nan)
+        return jnp.nanmedian(big)
+
+    ratio = masked_median(depth_gt) / masked_median(pred)
+    pred = jnp.clip(pred * ratio, 1e-3, 80.0)
+
+    gt_s = jnp.where(mask > 0, depth_gt, 1.0)
+    pr_s = jnp.where(mask > 0, pred, 1.0)
+    abs_err, abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3 = \
+        compute_errors_masked(gt_s, pr_s, mask)
+    names = ("de/abs_rel", "de/sq_rel", "de/rms", "de/log_rms",
+             "da/a1", "da/a2", "da/a3")
+    vals = (abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3)
+    return dict(zip(names, vals))
+
+
 def scaled_clamped_depth(disp, scale=STEREO_SCALE_FACTOR,
                          min_depth=MIN_DEPTH, max_depth=MAX_DEPTH):
     """Metric depth used by the attack evaluator (evaluate_depth.py:193-194):

@@ -247,3 +247,26 @@ def test_compute_errors_masked_matches_numpy_reference():
 def test_get_mean_depth_diff_zero_for_identical():
     disp = jnp.asarray(RNG.rand(2, 8, 8, 1).astype(np.float32))
     assert float(get_mean_depth_diff(disp, disp, use_abs=True)) == 0.0
+
+
+def test_compute_depth_losses_median_scaled():
+    """In-training depth monitor (trainer.py:676-704): median scaling
+    absorbs a global scale; smooth field recovers near-zero errors."""
+    import jax.numpy as jnp
+
+    from depthmodelhardening_tpu.ops.metrics import compute_depth_losses
+
+    ys, xs = np.mgrid[0:375, 0:1242].astype(np.float32)
+    smooth = 10.0 + 30.0 * ys / 375 + 10.0 * np.sin(xs / 200.0)
+    gt = np.zeros((2, 375, 1242, 1), np.float32)
+    gt[:, 160:360, 100:1100, 0] = smooth[160:360, 100:1100]
+    pred = jnp.asarray(smooth[None, ::4, ::4, None].repeat(2, 0) * 1.5)
+    m = compute_depth_losses(pred, jnp.asarray(gt))
+    assert float(m["de/abs_rel"]) < 0.05
+    assert float(m["da/a1"]) > 0.95
+    # pixels outside the eigen crop / with zero gt never contribute
+    gt2 = gt.copy()
+    gt2[:, :150] = 99.0  # above the crop -> must be ignored
+    m2 = compute_depth_losses(pred, jnp.asarray(gt2))
+    np.testing.assert_allclose(float(m2["de/abs_rel"]),
+                               float(m["de/abs_rel"]), atol=1e-6)
