@@ -59,6 +59,9 @@ class AttackEvalConfig:
     scene_w: int = 1024
     ori_h: int = 375
     ori_w: int = 1242
+    # directory for per-batch image dumps (attacked/benign scenes +
+    # 6-panel disparity comparison, evaluate_depth_physical.py:124-165)
+    dump_dir: Optional[str] = None
 
 
 def build_attack(cfg: AttackEvalConfig, predict_fn, obj_img, obj_mask,
@@ -147,6 +150,7 @@ def evaluate_attacks(predictor, attack, scenes_iter: Iterable,
     rng = jax.random.PRNGKey(17) if rng is None else rng
     metric_predictor = metric_predictor or predictor
     rows = []
+    dump_dir = getattr(cfg, "dump_dir", None)
     for i, scenes in enumerate(scenes_iter):
         if i >= cfg.eval_count:
             break
@@ -165,6 +169,23 @@ def evaluate_attacks(predictor, attack, scenes_iter: Iterable,
                 eval_mode=True)
         errs = _batch_metrics(metric_predictor, adv, ben, masks)
         rows.append(np.asarray(jnp.stack(errs)))
+
+        if dump_dir:
+            # image dumps like evaluate_depth_physical.py:124-165:
+            # attacked/benign scenes + 6-panel disparity comparison
+            import os
+
+            from ..utils.visualize import eval_depth_diff, save_pic
+
+            os.makedirs(dump_dir, exist_ok=True)
+            save_pic(np.asarray(adv[0]),
+                     os.path.join(dump_dir, f"adv_{i:03d}.png"))
+            save_pic(np.asarray(ben[0]),
+                     os.path.join(dump_dir, f"ben_{i:03d}.png"))
+            panel, _, _ = eval_depth_diff(
+                np.asarray(ben[0]), np.asarray(adv[0]),
+                predictor=metric_predictor)
+            panel.save(os.path.join(dump_dir, f"panel_{i:03d}.png"))
 
     rows = np.stack(rows)  # (n, 8)
     return {
