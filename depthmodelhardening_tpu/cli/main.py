@@ -110,7 +110,8 @@ def cmd_eval_attacks(args):
         cfg = dataclasses.replace(
             EVAL_PRESETS[args.preset], eval_count=args.eval_count,
             scene_h=args.height, scene_w=args.width,
-            ori_h=args.ori_h, ori_w=args.ori_w)
+            ori_h=args.ori_h, ori_w=args.ori_w,
+            dump_dir=args.dump_dir)
     else:
         cfg = AttackEvalConfig(
             norm_type=args.norm_type, epsilon=args.epsilon,
@@ -118,7 +119,8 @@ def cmd_eval_attacks(args):
             mask_wt=args.mask_wt, l0_thresh=args.l0_thresh,
             batch_size=args.batch_size, eval_count=args.eval_count,
             scene_h=args.height, scene_w=args.width,
-            ori_h=args.ori_h, ori_w=args.ori_w)
+            ori_h=args.ori_h, ori_w=args.ori_w,
+            dump_dir=args.dump_dir)
     attack = build_attack(cfg, predictor.apply_fn, jnp.asarray(obj),
                           jnp.asarray(car_mask))
     dataset = KittiObjectScenes(args.object_data_root, mode="val",
@@ -350,6 +352,9 @@ def build_parser():
     pe.add_argument("--l0-thresh", type=float, default=0.1)
     pe.add_argument("--batch-size", type=int, default=12)
     pe.add_argument("--eval-count", type=int, default=10)
+    pe.add_argument("--dump-dir", default=None,
+                    help="save attacked/benign scenes + disparity "
+                         "panels per batch")
     pe.add_argument("--ori-h", type=int, default=375)
     pe.add_argument("--ori-w", type=int, default=1242)
     pe.add_argument("--train-list", default="trainval.txt")
