@@ -51,7 +51,10 @@ static int png_decode(FILE* f, uint8_t* out, int h, int w) {
   if (!png) return -2;
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_read_struct(&png, NULL, NULL); return -2; }
+  /* volatile so the longjmp cleanup can free a partially set pointer */
+  png_bytep* volatile rows = NULL;
   if (setjmp(png_jmpbuf(png))) {
+    free(rows);
     png_destroy_read_struct(&png, &info, NULL);
     return -3;
   }
@@ -80,10 +83,15 @@ static int png_decode(FILE* f, uint8_t* out, int h, int w) {
     png_destroy_read_struct(&png, &info, NULL);
     return -4;
   }
-  png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * h);
+  rows = (png_bytep*)malloc(sizeof(png_bytep) * h);
+  if (!rows) {
+    png_destroy_read_struct(&png, &info, NULL);
+    return -6;
+  }
   for (int y = 0; y < h; y++) rows[y] = out + (size_t)y * w * 3;
-  png_read_image(png, rows);
+  png_read_image(png, (png_bytep*)rows);
   free(rows);
+  rows = NULL;
   png_destroy_read_struct(&png, &info, NULL);
   return 0;
 }
@@ -161,7 +169,10 @@ int image_dims(const char* path, int* h, int* w) {
   return rc;
 }
 
-int decode_rgb(const char* path, uint8_t* out) {
+/* exp_h/exp_w: the dimensions the caller allocated `out` for; decode
+ * fails with -7 if the file changed since image_dims (never writes
+ * beyond the caller's buffer). */
+int decode_rgb(const char* path, uint8_t* out, int exp_h, int exp_w) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   int h, w;
@@ -170,10 +181,12 @@ int decode_rgb(const char* path, uint8_t* out) {
   if (kind == 0) {
     rc = png_dims(f, &h, &w);
     rewind(f);
+    if (rc == 0 && (h != exp_h || w != exp_w)) rc = -7;
     if (rc == 0) rc = png_decode(f, out, h, w);
   } else if (kind == 1) {
     rc = jpg_dims(f, &h, &w);
     rewind(f);
+    if (rc == 0 && (h != exp_h || w != exp_w)) rc = -7;
     if (rc == 0) rc = jpg_decode(f, out, h, w);
   } else {
     rc = -5;
@@ -189,6 +202,12 @@ int resize_bilinear(const uint8_t* in, int h, int w, float* out,
   int* x0 = (int*)malloc(sizeof(int) * ow);
   int* x1 = (int*)malloc(sizeof(int) * ow);
   float* fx = (float*)malloc(sizeof(float) * ow);
+  if (!x0 || !x1 || !fx) {
+    free(x0);
+    free(x1);
+    free(fx);
+    return -6;
+  }
   for (int x = 0; x < ow; x++) {
     float s = (x + 0.5f) * sx - 0.5f;
     if (s < 0) s = 0;
@@ -232,7 +251,7 @@ int decode_resize(const char* path, float* out, int oh, int ow) {
   if (rc != 0) return rc;
   uint8_t* buf = (uint8_t*)malloc((size_t)h * w * 3);
   if (!buf) return -6;
-  rc = decode_rgb(path, buf);
+  rc = decode_rgb(path, buf, h, w);
   if (rc == 0) rc = resize_bilinear(buf, h, w, out, oh, ow);
   free(buf);
   return rc;

@@ -25,6 +25,10 @@ def make_mesh(n_devices: Optional[int] = None,
     """A device mesh; default: 1-D "data" mesh over all local devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible")
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)

@@ -28,14 +28,17 @@ def trace(log_dir: str, create_perfetto_link: bool = False) -> Iterator:
 
 
 class StepTimer:
-    """Times jitted steps correctly: sync on entry to exclude dispatch
-    of previous work, sync on stop via block_until_ready."""
+    """Times jitted steps: stop(result) blocks until `result` is ready.
+    Pass the PREVIOUS step's output to start(sync_on=...) to exclude
+    still-in-flight device work from the measurement."""
 
     def __init__(self):
         self.durations = []
         self._t = None
 
-    def start(self) -> None:
+    def start(self, sync_on=None) -> None:
+        if sync_on is not None:
+            jax.block_until_ready(sync_on)
         self._t = time.perf_counter()
 
     def stop(self, result=None) -> float:
