@@ -10,3 +10,5 @@ from .physical import PhysicalObjectAttack
 from .random_object import (
     ArbiObjectAttack, GaussianObjectAttack, VanilaObjectAttack,
 )
+from . import classifier
+from . import classifier_auto

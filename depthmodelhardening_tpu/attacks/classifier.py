@@ -7,10 +7,13 @@ pipeline code — evaluate_depth.py:25-34). The gradient-based core of
 that surface is provided here as jit-compiled functions over a generic
 `logits_fn(variables, images) -> (B, n_classes)`.
 
-Implemented: FGSM, BIM, RFGSM, PGD, PGDL2, EOTPGD, FFGSM, TPGD, MIFGSM,
-GN, VANILA. The remaining vendored attacks (FAB, OnePixel's
-differential-evolution port, SparseFool, ...) are research baselines the
-pipeline never exercises; they are intentionally out of scope.
+Implemented here: FGSM, BIM, RFGSM, PGD, PGDL2, EOTPGD, FFGSM, TPGD,
+MIFGSM, GN, VANILA, CW, DeepFool, DIFGSM, Jitter, UPGD, TIFGSM,
+SparseFool, OnePixel (with a compact differential-evolution core in
+place of the reference's vendored SciPy port,
+torchattacks/attacks/_differential_evolution.py). The AutoAttack family
+(APGD, APGDT, FAB, Square, AutoAttack, MultiAttack) lives in
+`classifier_auto.py`.
 
 All attacks are targeted=False by default and accept `targeted=True`
 with target labels, mirroring the torchattacks convention (attack.py:
@@ -274,40 +277,51 @@ def cw(logits_fn, variables, images, labels, c=1.0, kappa=0.0,
     return best
 
 
+def _deepfool_single(logits_fn, variables, img, label, steps,
+                     overshoot):
+    """One-sample DeepFool; returns (adv, boundary_label)."""
+
+    def cond(carry):
+        i, x, done, _ = carry
+        return (i < steps) & (~done)
+
+    def body(carry):
+        i, x, _, _ = carry
+        logits = logits_fn(variables, x[None])[0]
+        jac = jax.jacobian(
+            lambda a: logits_fn(variables, a[None])[0])(x)
+        nc = logits.shape[-1]
+        fk = logits - logits[label]
+        wk = jac - jac[label]
+        wk_flat = wk.reshape(nc, -1)
+        norms = jnp.linalg.norm(wk_flat, axis=1) + 1e-8
+        dist = jnp.abs(fk) / norms
+        dist = dist.at[label].set(jnp.inf)
+        l = jnp.argmin(dist)
+        r = (jnp.abs(fk[l]) / (norms[l] ** 2)) * wk[l]
+        x = jnp.clip(x + (1 + overshoot) * r, 0.0, 1.0)
+        done = jnp.argmax(logits_fn(variables, x[None])[0]) != label
+        return i + 1, x, done, l
+
+    _, x, _, tl = jax.lax.while_loop(
+        cond, body, (0, img, jnp.asarray(False),
+                     jnp.asarray(0, jnp.int32)))
+    return x, tl
+
+
 def deepfool(logits_fn, variables, images, labels, steps=50,
-             overshoot=0.02):
+             overshoot=0.02, return_target_labels=False):
     """torchattacks/attacks/deepfool.py: iterative minimal L2 push over
-    the nearest decision boundary (batch-vectorized)."""
-
-    def one(img, label):
-        def cond(carry):
-            i, x, done = carry
-            return (i < steps) & (~done)
-
-        def body(carry):
-            i, x, _ = carry
-            logits, jac = logits_fn(variables, x[None])[0], None
-            jac = jax.jacobian(
-                lambda a: logits_fn(variables, a[None])[0])(x)
-            nc = logits.shape[-1]
-            fk = logits - logits[label]
-            wk = jac - jac[label]
-            wk_flat = wk.reshape(nc, -1)
-            norms = jnp.linalg.norm(wk_flat, axis=1) + 1e-8
-            dist = jnp.abs(fk) / norms
-            dist = dist.at[label].set(jnp.inf)
-            l = jnp.argmin(dist)
-            r = (jnp.abs(fk[l]) / (norms[l] ** 2)) * wk[l]
-            x = jnp.clip(x + (1 + overshoot) * r, 0.0, 1.0)
-            done = jnp.argmax(
-                logits_fn(variables, x[None])[0]) != label
-            return i + 1, x, done
-
-        _, x, _ = jax.lax.while_loop(
-            cond, body, (0, img, jnp.asarray(False)))
-        return x
-
-    return jax.vmap(one)(images, labels)
+    the nearest decision boundary (batch-vectorized).
+    `return_target_labels` mirrors the reference flag (deepfool.py:44)
+    used by SparseFool: also return the boundary class of each sample."""
+    adv, tl = jax.vmap(
+        lambda im, lb: _deepfool_single(
+            logits_fn, variables, im, lb, steps, overshoot)
+    )(images, labels)
+    if return_target_labels:
+        return adv, tl
+    return adv
 
 
 def difgsm(logits_fn, variables, images, labels, eps=8 / 255,
@@ -431,3 +445,227 @@ def upgd(logits_fn, variables, images, labels, eps=8 / 255,
     adv, _ = jax.lax.fori_loop(0, steps, body,
                                (adv, jnp.zeros_like(images)))
     return adv
+
+
+def _ti_kernel(kernel_name="gaussian", len_kernel=15, nsig=3):
+    """Translation-invariance smoothing kernel (tifgsm.py:70-101):
+    gaussian (default), uniform, or linear, normalized to sum 1."""
+    if kernel_name == "gaussian":
+        x = jnp.linspace(-nsig, nsig, len_kernel)
+        k1 = jnp.exp(-0.5 * x * x)
+        kern = jnp.outer(k1, k1)
+    elif kernel_name == "uniform":
+        kern = jnp.ones((len_kernel, len_kernel))
+    elif kernel_name == "linear":
+        r = 1.0 - jnp.abs(
+            jnp.linspace(-1.0, 1.0, len_kernel))
+        kern = jnp.outer(r, r)
+    else:
+        raise ValueError(kernel_name)
+    return kern / jnp.sum(kern)
+
+
+def _depthwise_smooth(g, kern):
+    """Depthwise SAME conv of NHWC gradient with a 2-D kernel."""
+    C = g.shape[-1]
+    k = jnp.broadcast_to(kern[:, :, None, None],
+                         kern.shape + (1, C)).astype(g.dtype)
+    return jax.lax.conv_general_dilated(
+        g, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C)
+
+
+def tifgsm(logits_fn, variables, images, labels, eps=8 / 255,
+           alpha=2 / 255, steps=20, decay=0.0, kernel_name="gaussian",
+           len_kernel=15, nsig=3, resize_rate=0.9, diversity_prob=0.5,
+           random_start=False, rng=None, targeted=False):
+    """torchattacks/attacks/tifgsm.py: translation-invariant FGSM —
+    MI-FGSM whose gradient is smoothed by a depthwise Gaussian kernel
+    (len 15, nsig 3 defaults per the paper), with DI-FGSM-style random
+    resize+pad input diversity."""
+    from ..ops.resize import bilinear_resize
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    B, H, W, C = images.shape
+    kern = _ti_kernel(kernel_name, len_kernel, nsig)
+    low_h = int(H * resize_rate) if resize_rate < 1 else H
+    low_w = int(W * resize_rate) if resize_rate < 1 else W
+
+    def diversify(x, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        small = bilinear_resize(x, low_h, low_w)
+        top = jax.random.randint(k1, (), 0, H - low_h + 1)
+        left = jax.random.randint(k2, (), 0, W - low_w + 1)
+        padded = jax.lax.dynamic_update_slice(
+            jnp.zeros_like(x), small, (0, top, left, 0))
+        use = jax.random.uniform(k3, ()) < diversity_prob
+        return jnp.where(use, padded, x)
+
+    adv = images
+    if random_start:
+        adv = jnp.clip(images + jax.random.uniform(
+            rng, images.shape, minval=-eps, maxval=eps), 0.0, 1.0)
+
+    def body(i, carry):
+        adv, momentum = carry
+        key = jax.random.fold_in(rng, i)
+
+        def loss(a):
+            l = jnp.mean(_ce(
+                logits_fn(variables, diversify(a, key)), labels))
+            return -l if targeted else l
+
+        g = jax.grad(loss)(adv)
+        g = _depthwise_smooth(g, kern)
+        g = g / (jnp.mean(jnp.abs(g), axis=(1, 2, 3),
+                          keepdims=True) + 1e-12)
+        g = g + decay * momentum
+        adv = adv + alpha * jnp.sign(g)
+        delta = jnp.clip(adv - images, -eps, eps)
+        return jnp.clip(images + delta, 0.0, 1.0), g
+
+    adv, _ = jax.lax.fori_loop(0, steps, body,
+                               (adv, jnp.zeros_like(images)))
+    return adv
+
+
+def _sparsefool_linear_solver(x0, coord_vec, boundary_point):
+    """L1-greedy projection onto the linearized boundary
+    (sparsefool.py:96-129): walk one max-|w| coordinate at a time until
+    the sign of w.(x - x_b) flips, zeroing used coordinates."""
+    D = x0.size
+    normal = coord_vec.reshape(-1)
+    x0f = x0.reshape(-1)
+    bpf = boundary_point.reshape(-1)
+    sign_true = jnp.sign(jnp.dot(normal, x0f - bpf))
+    beta = 0.001 * sign_true
+
+    def cond(carry):
+        x_i, cv, _ = carry
+        cur = jnp.sign(jnp.dot(normal, x_i - bpf))
+        return (cur == sign_true) & jnp.any(cv != 0)
+
+    def body(carry):
+        x_i, cv, n = carry
+        f_k = jnp.dot(normal, x_i - bpf) + beta
+        idx = jnp.argmax(jnp.abs(cv))
+        pert = jnp.abs(f_k) / (jnp.abs(cv[idx]) + 1e-12)
+        step = jnp.maximum(pert, 1e-4) * jnp.sign(cv[idx])
+        x_i = jnp.clip(x_i.at[idx].add(step), 0.0, 1.0)
+        return x_i, cv.at[idx].set(0.0), n + 1
+
+    x_i, _, _ = jax.lax.while_loop(
+        cond, body, (x0f, normal + 0.0, jnp.asarray(0, jnp.int32)))
+    del D
+    return x_i.reshape(x0.shape)
+
+
+def sparsefool(logits_fn, variables, images, labels, steps=20,
+               lam=3.0, overshoot=0.02, deepfool_steps=50):
+    """torchattacks/attacks/sparsefool.py: sparse (L0) attack — each
+    outer step takes a DeepFool boundary point, scales it by `lam`, and
+    projects back with the one-coordinate-at-a-time linear solver."""
+
+    def one(img, label):
+        def outer_cond(carry):
+            i, x, done = carry
+            return (i < steps) & (~done)
+
+        def outer_body(carry):
+            i, x, _ = carry
+            pre0 = jnp.argmax(logits_fn(variables, x[None])[0])
+            df, tl = _deepfool_single(
+                logits_fn, variables, x, label, deepfool_steps, 0.02)
+            x_b = x + lam * (df - x)
+
+            logits_b = logits_fn(variables, x_b[None])[0]
+            pre = jnp.argmax(logits_b)
+            pre = jnp.where(pre == label, tl, pre)
+
+            def cost(a):
+                lg = logits_fn(variables, a[None])[0]
+                return lg[pre] - lg[label]
+
+            g = jax.grad(cost)(x_b)
+            g = g / (jnp.linalg.norm(g.reshape(-1)) + 1e-12)
+            x_new = _sparsefool_linear_solver(img, g, x_b)
+            x_new = jnp.clip(
+                img + (1 + overshoot) * (x_new - img), 0.0, 1.0)
+            # a sample already misclassified keeps its current iterate
+            # (sparsefool.py:64-68)
+            fooled = pre0 != label
+            x = jnp.where(fooled, x, x_new)
+            return i + 1, x, fooled
+
+        _, x, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (0, img, jnp.asarray(False)))
+        return x
+
+    return jax.vmap(one)(images, labels)
+
+
+def onepixel(logits_fn, variables, images, labels, pixels=1, steps=75,
+             popsize=400, rng=None, targeted=False):
+    """torchattacks/attacks/onepixel.py: black-box L0 attack optimizing
+    (row, col, r, g, b) per pixel with differential evolution.
+
+    The reference drives a vendored SciPy DE port
+    (_differential_evolution.py, best1bin, recombination=1, no polish);
+    here the same best/1 full-crossover DE runs as a lax.fori_loop with
+    the whole population evaluated in one batched forward pass per
+    generation, vmapped over the image batch."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    B, H, W, C = images.shape
+    D = pixels * (2 + C)
+    # scipy population size = popmul * n_dims (onepixel.py:61-62)
+    popmul = max(1, popsize // D)
+    N = popmul * D
+    lo = jnp.tile(jnp.array([0.0, 0.0] + [0.0] * C), pixels)
+    hi = jnp.tile(jnp.array([H - 1e-3, W - 1e-3] + [1.0] * C), pixels)
+
+    def perturb(img, member):
+        # member: (D,) -> set `pixels` pixels (onepixel.py:125-140)
+        out = img
+        for p in range(pixels):
+            base = p * (2 + C)
+            r = member[base].astype(jnp.int32)
+            c = member[base + 1].astype(jnp.int32)
+            vals = member[base + 2:base + 2 + C]
+            out = out.at[r, c, :].set(vals)
+        return out
+
+    def fitness(img, label, pop):
+        advs = jax.vmap(lambda m: perturb(img, m))(pop)
+        probs = jax.nn.softmax(logits_fn(variables, advs), axis=1)
+        p = probs[:, label]
+        return (1.0 - p) if targeted else p  # minimize
+
+    def one(img, label, key):
+        k0, key = jax.random.split(key)
+        pop = lo + (hi - lo) * jax.random.uniform(k0, (N, D))
+        fit = fitness(img, label, pop)
+
+        def gen(i, carry):
+            pop, fit = carry
+            kf, k1, k2 = jax.random.split(
+                jax.random.fold_in(key, i), 3)
+            best = pop[jnp.argmin(fit)]
+            # best/1 with dithered F in [0.5, 1) and full crossover
+            # (recombination=1 in onepixel.py:86-89)
+            F = jax.random.uniform(kf, (), minval=0.5, maxval=1.0)
+            r1 = jax.random.randint(k1, (N,), 0, N)
+            r2 = jax.random.randint(k2, (N,), 0, N)
+            trial = jnp.clip(best[None] + F * (pop[r1] - pop[r2]),
+                             lo, hi)
+            fit_t = fitness(img, label, trial)
+            better = fit_t < fit
+            pop = jnp.where(better[:, None], trial, pop)
+            fit = jnp.where(better, fit_t, fit)
+            return pop, fit
+
+        pop, fit = jax.lax.fori_loop(0, steps, gen, (pop, fit))
+        return perturb(img, pop[jnp.argmin(fit)])
+
+    keys = jax.random.split(rng, B)
+    return jax.vmap(one)(images, labels, keys)

@@ -1,0 +1,573 @@
+"""AutoAttack family of classifier attacks (vendored-torchattacks
+surface): APGD, APGD-T, FAB, Square, MultiAttack, AutoAttack.
+
+Reference behavior: torchattacks/attacks/{apgd.py, apgdt.py, fab.py,
+square.py, autoattack.py, multiattack.py} (torchattacks v3.2.2, the
+Croce & Hein AutoAttack suite). Same generic interface as
+`classifier.py`: every attack takes `logits_fn(variables, images) ->
+(B, n_classes)` plus NHWC images in [0, 1].
+
+TPU-first notes:
+  * APGD/APGD-T run the full optimization (momentum iterate, per-sample
+    adaptive step halving at Croce-Hein checkpoints) as ONE
+    lax.fori_loop — the loss history lives in a fixed (steps, B)
+    buffer, the oscillation test is a masked reduction, so the whole
+    attack is a single XLA computation with no host sync per step.
+  * FAB's box-constrained hyperplane projections (the reference's
+    projection_linf / projection_l2, fab.py:118-260) are replaced by a
+    single generic bisection on the Lagrange multiplier of
+    min ||d||_p  s.t.  w.(x+d)=b, 0<=x+d<=1 — the KKT solution is
+    clip(x - t*u) with u=sign(w) (Linf) or u=w (L2) and w.clip(x - t*u)
+    monotone in t, so 50 fixed bisection steps solve it exactly and
+    stay jit-friendly (no sorting-based special cases).
+  * Square picks its per-iteration square via iota masks instead of
+    dynamic-size slices, keeping all shapes static.
+
+The classifier Square implements the Linf norm (the variant AutoAttack
+standard uses); the L2 variant's mass-reallocation update
+(square.py:325-439) is intentionally not provided — the depth pipeline's
+Square attack is `square_object.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .classifier import _ce
+
+
+# ---------------------------------------------------------------------------
+# losses
+
+
+def _dlr_loss(logits, labels):
+    """Difference-of-logits-ratio loss (apgd.py:147-153)."""
+    z_sorted = jnp.sort(logits, axis=1)[:, ::-1]
+    one_hot = jax.nn.one_hot(labels, logits.shape[-1])
+    z_y = jnp.sum(one_hot * logits, axis=1)
+    pi1_is_y = jnp.argmax(logits, axis=1) == labels
+    top = z_y - jnp.where(pi1_is_y, z_sorted[:, 1], z_sorted[:, 0])
+    return -top / (z_sorted[:, 0] - z_sorted[:, 2] + 1e-12)
+
+
+def _dlr_loss_targeted(logits, labels, targets):
+    """Targeted DLR (apgdt.py:130-136)."""
+    z_sorted = jnp.sort(logits, axis=1)[:, ::-1]
+    nc = logits.shape[-1]
+    z_y = jnp.sum(jax.nn.one_hot(labels, nc) * logits, axis=1)
+    z_t = jnp.sum(jax.nn.one_hot(targets, nc) * logits, axis=1)
+    return -(z_y - z_t) / (
+        z_sorted[:, 0] - (z_sorted[:, 2] + z_sorted[:, 3]) / 2 + 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# APGD core (shared by apgd / apgdt)
+
+
+def _apgd_checkpoints(steps):
+    """Croce-Hein checkpoint iterations: first at ceil(0.22*steps), then
+    intervals shrinking by 0.03*steps down to 0.06*steps
+    (apgd.py:163-171)."""
+    n2 = max(int(0.22 * steps), 1)
+    nmin = max(int(0.06 * steps), 1)
+    decr = max(int(0.03 * steps), 1)
+    ckpts, k, pos = [], n2, n2
+    while pos < steps:
+        ckpts.append(pos)
+        k = max(k - decr, nmin)
+        pos += k
+    mask = np.zeros(steps, dtype=bool)
+    for c in ckpts:
+        mask[c] = True
+    # window size at each checkpoint = distance since previous one
+    win = np.zeros(steps, dtype=np.int32)
+    prev = 0
+    for c in ckpts:
+        win[c] = c - prev
+        prev = c
+    return jnp.asarray(mask), jnp.asarray(win)
+
+
+def _project(norm, x, x_orig, eps):
+    if norm == "Linf":
+        return jnp.clip(
+            jnp.clip(x, x_orig - eps, x_orig + eps), 0.0, 1.0)
+    d = x - x_orig
+    B = x.shape[0]
+    n = jnp.sqrt(jnp.sum(d.reshape(B, -1) ** 2, 1)).reshape(
+        B, 1, 1, 1)
+    d = d * jnp.minimum(eps / (n + 1e-12), 1.0)
+    return jnp.clip(x_orig + d, 0.0, 1.0)
+
+
+def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
+                     norm, eps, steps, rho, rng):
+    """One APGD restart, batched. Returns (x_best, x_best_adv,
+    found_adv, loss_best)."""
+    B = images.shape[0]
+    bshape = (B, 1, 1, 1)
+    ck_mask, ck_win = _apgd_checkpoints(steps)
+
+    def loss_and_grad(x):
+        def total(a):
+            return jnp.sum(loss_fn(logits_fn(variables, a)))
+
+        l, g = jax.value_and_grad(total)(x)
+        return loss_fn(logits_fn(variables, x)), g
+
+    # random start (apgd.py:181-190)
+    if norm == "Linf":
+        t = 2.0 * jax.random.uniform(rng, images.shape) - 1.0
+        tmax = jnp.max(jnp.abs(t.reshape(B, -1)), 1).reshape(bshape)
+        x_adv = images + eps * t / (tmax + 1e-12)
+    else:
+        t = jax.random.normal(rng, images.shape)
+        tn = jnp.sqrt(jnp.sum(t.reshape(B, -1) ** 2, 1)).reshape(bshape)
+        x_adv = images + eps * t / (tn + 1e-12)
+    x_adv = jnp.clip(x_adv, 0.0, 1.0)
+
+    loss_indiv, grad = loss_and_grad(x_adv)
+    preds = jnp.argmax(logits_fn(variables, x_adv), axis=1)
+    found = preds != labels
+    x_best = x_adv
+    x_best_adv = jnp.where(found.reshape(bshape), x_adv, images)
+    loss_best = loss_indiv
+    # initial step 2*eps for both norms, with the L2 step applied to the
+    # normalized gradient (apgd.py:192, 215-228)
+    step_size = jnp.full(bshape, 2.0 * eps)
+
+    loss_steps = jnp.zeros((steps, B))
+    # bookkeeping for condition 2
+    loss_best_last_check = loss_best
+    reduced_last_check = jnp.ones((B,), bool)
+
+    def body(i, carry):
+        (x_adv, x_adv_old, grad, loss_best, x_best, x_best_adv, found,
+         step_size, loss_steps, loss_best_last_check,
+         reduced_last_check) = carry
+
+        a = jnp.where(i == 0, 1.0, 0.75)
+        if norm == "Linf":
+            z = x_adv + step_size * jnp.sign(grad)
+            z = _project("Linf", z, images, eps)
+            x_new = x_adv + a * (z - x_adv) + (1 - a) * (
+                x_adv - x_adv_old)
+            x_new = _project("Linf", x_new, images, eps)
+        else:
+            gn = jnp.sqrt(jnp.sum(grad.reshape(B, -1) ** 2, 1)).reshape(
+                bshape)
+            z = x_adv + step_size * grad / (gn + 1e-12)
+            z = _project("L2", z, images, eps)
+            x_new = x_adv + a * (z - x_adv) + (1 - a) * (
+                x_adv - x_adv_old)
+            x_new = _project("L2", x_new, images, eps)
+
+        x_adv_old = x_adv
+        x_adv = x_new
+        loss_indiv, grad = loss_and_grad(x_adv)
+        preds = jnp.argmax(logits_fn(variables, x_adv), axis=1)
+        is_adv = preds != labels
+        x_best_adv = jnp.where((is_adv & ~found).reshape(bshape),
+                               x_adv, x_best_adv)
+        found = found | is_adv
+
+        improved = loss_indiv > loss_best
+        x_best = jnp.where(improved.reshape(bshape), x_adv, x_best)
+        loss_best = jnp.maximum(loss_best, loss_indiv)
+        loss_steps = loss_steps.at[i].set(loss_indiv)
+
+        # checkpointed step-size control (apgd.py:244-267)
+        def at_checkpoint(args):
+            (step_size, x_adv, loss_best_last_check,
+             reduced_last_check) = args
+            k = ck_win[i]
+            idx = jnp.arange(steps)
+            # count steps j in (i-k, i] where loss rose over step j-1
+            in_win = (idx > i - k) & (idx <= i) & (idx >= 1)
+            prev = jnp.concatenate(
+                [jnp.zeros((1, B)), loss_steps[:-1]], axis=0)
+            rises = jnp.sum(
+                jnp.where(in_win[:, None], loss_steps > prev, False),
+                axis=0)
+            cond1 = rises < rho * k
+            cond2 = (~reduced_last_check) & (
+                loss_best_last_check >= loss_best)
+            reduce = cond1 | cond2
+            new_step = jnp.where(reduce.reshape(bshape),
+                                 step_size / 2.0, step_size)
+            new_x = jnp.where(reduce.reshape(bshape), x_best, x_adv)
+            return new_step, new_x, loss_best, reduce
+
+        (step_size, x_adv, loss_best_last_check,
+         reduced_last_check) = jax.lax.cond(
+            ck_mask[i], at_checkpoint,
+            lambda args: (args[0], args[1], loss_best_last_check,
+                          reduced_last_check),
+            (step_size, x_adv, loss_best_last_check,
+             reduced_last_check))
+
+        return (x_adv, x_adv_old, grad, loss_best, x_best, x_best_adv,
+                found, step_size, loss_steps, loss_best_last_check,
+                reduced_last_check)
+
+    carry = (x_adv, x_adv, grad, loss_best, x_best, x_best_adv, found,
+             step_size, loss_steps, loss_best_last_check,
+             reduced_last_check)
+    carry = jax.lax.fori_loop(0, steps, body, carry)
+    (x_adv, _, _, loss_best, x_best, x_best_adv, found, *_rest) = carry
+    return x_best, x_best_adv, found, loss_best
+
+
+def apgd(logits_fn, variables, images, labels, norm="Linf",
+         eps=8 / 255, steps=100, n_restarts=1, seed=0, loss="ce",
+         rho=0.75, rng=None):
+    """torchattacks/attacks/apgd.py: Auto-PGD (Croce & Hein 2020) with
+    the ce or dlr loss. Returns original images for samples no restart
+    fooled (apgd.py:55-80 semantics)."""
+    if norm not in ("Linf", "L2"):
+        raise ValueError(norm)
+    if loss == "ce":
+        loss_fn = lambda lg: _ce(lg, labels)
+    elif loss == "dlr":
+        loss_fn = lambda lg: _dlr_loss(lg, labels)
+    else:
+        raise ValueError(loss)
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+
+    B = images.shape[0]
+    adv = images
+    fooled = jnp.zeros((B,), bool)
+    for r in range(n_restarts):
+        key = jax.random.fold_in(rng, r)
+        _, x_best_adv, found, _ = _apgd_single_run(
+            logits_fn, variables, images, labels, loss_fn, norm, eps,
+            steps, rho, key)
+        take = found & ~fooled
+        adv = jnp.where(take.reshape(B, 1, 1, 1), x_best_adv, adv)
+        fooled = fooled | found
+    return adv
+
+
+def apgdt(logits_fn, variables, images, labels, norm="Linf",
+          eps=8 / 255, steps=100, n_restarts=1, seed=0, rho=0.75,
+          n_classes=10, rng=None):
+    """torchattacks/attacks/apgdt.py: targeted Auto-PGD — one APGD run
+    with the targeted DLR loss per target class (2nd..n_classes-th most
+    probable), keeping the first success per sample."""
+    if norm not in ("Linf", "L2"):
+        raise ValueError(norm)
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+    B = images.shape[0]
+    logits_clean = logits_fn(variables, images)
+    order = jnp.argsort(logits_clean, axis=1)  # ascending
+    adv = images
+    fooled = jnp.zeros((B,), bool)
+    n_targets = min(n_classes - 1, logits_clean.shape[-1] - 1)
+    for tc in range(2, n_targets + 2):
+        targets = order[:, -tc]
+        loss_fn = lambda lg, t=targets: _dlr_loss_targeted(
+            lg, labels, t)
+        for r in range(n_restarts):
+            key = jax.random.fold_in(rng, tc * 1000 + r)
+            _, x_best_adv, found, _ = _apgd_single_run(
+                logits_fn, variables, images, labels, loss_fn, norm,
+                eps, steps, rho, key)
+            take = found & ~fooled
+            adv = jnp.where(take.reshape(B, 1, 1, 1), x_best_adv, adv)
+            fooled = fooled | found
+    return adv
+
+
+# ---------------------------------------------------------------------------
+# FAB
+
+
+def _proj_box_hyperplane(x, w, b, norm, n_bisect=50):
+    """min ||d||_p s.t. w.(x+d) = b, 0 <= x+d <= 1, for p in
+    {Linf, L2}. KKT form d = clip(x - t*u, 0, 1) - x with u = sign(w)
+    (Linf) or u = w (L2); w.clip(x - t*u) is monotone in t, solved by
+    doubling + bisection. Returns d (same shape as x); if b is not
+    reachable inside the box, the fully saturated d is returned."""
+    c = jnp.sum(w * x) - b  # current side
+    s = jnp.sign(jnp.where(c == 0, 1.0, c))
+    u = s * (jnp.sign(w) if norm == "Linf" else w)
+
+    def h(t):
+        return jnp.sum(w * jnp.clip(x - t * u, 0.0, 1.0)) - b
+
+    # bracket: double t until h crosses 0 (or saturates)
+    def dbl_body(_, t_hi):
+        return jnp.where(h(t_hi) * c > 0, t_hi * 2.0, t_hi)
+
+    t_hi = jax.lax.fori_loop(0, 30, dbl_body, jnp.asarray(1e-3))
+
+    def bis_body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) / 2.0
+        same_side = h(mid) * c > 0
+        return jnp.where(same_side, mid, lo), jnp.where(
+            same_side, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, bis_body,
+                               (jnp.asarray(0.0), t_hi))
+    t = (lo + hi) / 2.0
+    return jnp.clip(x - t * u, 0.0, 1.0) - x
+
+
+def _lp_norm(d, norm):
+    flat = d.reshape(-1)
+    if norm == "Linf":
+        return jnp.max(jnp.abs(flat))
+    return jnp.sqrt(jnp.sum(flat ** 2))
+
+
+def fab(logits_fn, variables, images, labels, norm="Linf", eps=None,
+        steps=100, n_restarts=1, alpha_max=0.1, eta=1.05, beta=0.9,
+        seed=0, rng=None):
+    """torchattacks/attacks/fab.py: Fast Adaptive Boundary attack
+    (Croce & Hein 2020) — minimal-norm attack via iterated projection
+    onto the linearized decision boundary, with biased backward steps.
+    Default eps per norm matches fab.py:57 ({Linf: .3, L2: 1.})."""
+    if norm not in ("Linf", "L2"):
+        raise ValueError(norm)
+    if eps is None:
+        eps = {"Linf": 0.3, "L2": 1.0}[norm]
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+
+    def one(img, label, key):
+        def jac_and_logits(x):
+            logits = logits_fn(variables, x[None])[0]
+            jac = jax.jacobian(
+                lambda a: logits_fn(variables, a[None])[0])(x)
+            return logits, jac
+
+        def closest_boundary(x):
+            logits, jac = jac_and_logits(x)
+            fk = logits - logits[label]
+            wk = jac - jac[label]
+            nc = logits.shape[0]
+            qnorm = (jnp.sum(jnp.abs(wk.reshape(nc, -1)), 1)
+                     if norm == "Linf" else
+                     jnp.sqrt(jnp.sum(wk.reshape(nc, -1) ** 2, 1)))
+            dist = jnp.abs(fk) / (qnorm + 1e-12)
+            dist = dist.at[label].set(jnp.inf)
+            l = jnp.argmin(dist)
+            # hyperplane w.z = b through the linearization
+            w = wk[l]
+            b = jnp.sum(w * x) - fk[l]
+            return w, b
+
+        def is_adv(x):
+            return jnp.argmax(logits_fn(variables, x[None])[0]) != label
+
+        def restart_init(k, x_orig):
+            # random point within eps of x_orig (fab.py:436-448)
+            t = (jax.random.uniform(k, x_orig.shape) * 2.0 - 1.0
+                 if norm == "Linf" else
+                 jax.random.normal(k, x_orig.shape))
+            tn = (jnp.max(jnp.abs(t)) if norm == "Linf" else
+                  jnp.sqrt(jnp.sum(t ** 2)))
+            return jnp.clip(
+                x_orig + 0.5 * eps * t / (tn + 1e-12), 0.0, 1.0)
+
+        def run(x0):
+            def body(_, carry):
+                x_i, best, best_norm = carry
+                w, bb = closest_boundary(x_i)
+                d_i = _proj_box_hyperplane(x_i, w, bb, norm)
+                d_o = _proj_box_hyperplane(img, w, bb, norm)
+                ni = _lp_norm(d_i, norm)
+                no = _lp_norm(d_o, norm)
+                alpha = jnp.clip(ni / (ni + no + 1e-12), 0.0,
+                                 alpha_max)
+                x_new = jnp.clip(
+                    (1 - alpha) * (x_i + eta * d_i)
+                    + alpha * (img + eta * d_o), 0.0, 1.0)
+                adv = is_adv(x_new)
+                nrm = _lp_norm(x_new - img, norm)
+                better = adv & (nrm < best_norm)
+                best = jnp.where(better, x_new, best)
+                best_norm = jnp.where(better, nrm, best_norm)
+                # biased backward step toward the original on success
+                # (fab.py:500-507)
+                x_i = jnp.where(adv,
+                                beta * x_new + (1 - beta) * img, x_new)
+                return x_i, best, best_norm
+
+            return jax.lax.fori_loop(
+                0, steps, body, (x0, img, jnp.asarray(jnp.inf)))
+
+        best, best_norm = img, jnp.asarray(jnp.inf)
+        for r in range(n_restarts):
+            x0 = img if r == 0 else restart_init(
+                jax.random.fold_in(key, r), img)
+            _, b_r, n_r = run(x0)
+            take = n_r < best_norm
+            best = jnp.where(take, b_r, best)
+            best_norm = jnp.minimum(best_norm, n_r)
+
+        # final bisection refinement between best adv and original
+        def refine(_, carry):
+            best, lo = carry
+            mid = (best + lo) / 2.0
+            adv = is_adv(mid)
+            return jnp.where(adv, mid, best), jnp.where(adv, lo, mid)
+
+        found = jnp.isfinite(best_norm)
+        best, _ = jax.lax.fori_loop(0, 3, refine, (best, img))
+        # report only perturbations within eps (fab.py:86-93)
+        ok = found & (_lp_norm(best - img, norm) <= eps)
+        return jnp.where(ok, best, img)
+
+    keys = jax.random.split(rng, images.shape[0])
+    return jax.vmap(one)(images, labels, keys)
+
+
+# ---------------------------------------------------------------------------
+# Square (Linf)
+
+
+def _square_margin_loss(logits_fn, variables, x, y, loss,
+                        targeted=False):
+    """(margin, minimized-loss) pair (square.py:71-91)."""
+    logits = logits_fn(variables, x)
+    nc = logits.shape[-1]
+    one_hot = jax.nn.one_hot(y, nc)
+    y_corr = jnp.sum(one_hot * logits, axis=1)
+    y_others = jnp.max(
+        jnp.where(one_hot > 0, -jnp.inf, logits), axis=1)
+    margin = (y_others - y_corr) if targeted else (y_corr - y_others)
+    if loss == "ce":
+        xent = _ce(logits, y)
+        return margin, (xent if targeted else -xent)
+    return margin, margin  # 'margin'
+
+
+def _square_schedule(n_queries, p_init, n_features, c, rescale=True):
+    """Static per-iteration square sizes from the p schedule
+    (square.py:160-186)."""
+    sizes = np.zeros(n_queries, dtype=np.int32)
+    for it in range(n_queries):
+        t = int(it / n_queries * 10000) if rescale else it
+        p = p_init
+        for bound, div in ((8000, 512), (6000, 256), (4000, 128),
+                           (2000, 64), (1000, 32), (500, 16),
+                           (200, 8), (50, 4), (10, 2)):
+            if t > bound:
+                p = p_init / div
+                break
+        sizes[it] = max(int(round(np.sqrt(p * n_features / c))), 1)
+    return sizes
+
+
+def square(logits_fn, variables, images, labels, norm="Linf",
+           eps=8 / 255, n_queries=5000, p_init=0.8, loss="margin",
+           resc_schedule=True, seed=0, rng=None, targeted=False):
+    """torchattacks/attacks/square.py (Linf): black-box random-search
+    attack — vertical-stripe init, then one random eps-signed square
+    per query, accepted when the margin loss improves. The whole query
+    loop is one lax.fori_loop with iota-mask squares (static shapes)."""
+    if norm != "Linf":
+        raise ValueError(
+            "classifier Square implements Linf; the depth pipeline's "
+            "Square is attacks.square_object.SquareObjectAttack")
+    if loss not in ("margin", "ce"):
+        raise ValueError(loss)
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+    B, H, W, C = images.shape
+    n_features = C * H * W
+    sizes = jnp.asarray(_square_schedule(
+        n_queries, p_init, n_features, C, resc_schedule))
+
+    def rand_sign(key, shape):
+        return jnp.sign(
+            2.0 * jax.random.uniform(key, shape) - 1.0 + 1e-12)
+
+    k_init, rng = jax.random.split(rng)
+    # vertical stripes: one sign per (column, channel) (square.py:195)
+    x_best = jnp.clip(
+        images + eps * rand_sign(k_init, (B, 1, W, C)), 0.0, 1.0)
+    margin_min, loss_min = _square_margin_loss(
+        logits_fn, variables, x_best, labels, loss, targeted)
+
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+
+    def body(i, carry):
+        x_best, margin_min, loss_min = carry
+        key = jax.random.fold_in(rng, i)
+        kh, kw, ks = jax.random.split(key, 3)
+        s = sizes[i]
+        vh = jax.random.randint(kh, (), 0, jnp.maximum(H - s, 0) + 1)
+        vw = jax.random.randint(kw, (), 0, jnp.maximum(W - s, 0) + 1)
+        mask = ((rows >= vh) & (rows < vh + s)
+                & (cols >= vw) & (cols < vw + s))
+        delta = 2.0 * eps * rand_sign(ks, (1, 1, 1, C))
+        x_new = jnp.where(mask[None, :, :, None],
+                          x_best + delta, x_best)
+        x_new = jnp.clip(
+            jnp.clip(x_new, images - eps, images + eps), 0.0, 1.0)
+        margin, l = _square_margin_loss(
+            logits_fn, variables, x_new, labels, loss, targeted)
+        improved = (l < loss_min) | (margin <= 0.0)
+        # only still-robust samples are updated (square.py:202-214)
+        upd = improved & (margin_min > 0.0)
+        x_best = jnp.where(upd[:, None, None, None], x_new, x_best)
+        loss_min = jnp.where(upd, l, loss_min)
+        margin_min = jnp.where(upd, margin, margin_min)
+        return x_best, margin_min, loss_min
+
+    x_best, _, _ = jax.lax.fori_loop(
+        0, n_queries, body, (x_best, margin_min, loss_min))
+    return x_best
+
+
+# ---------------------------------------------------------------------------
+# ensembles
+
+
+def multiattack(attacks: Sequence[Callable], logits_fn, variables,
+                images, labels):
+    """torchattacks/attacks/multiattack.py: run attacks sequentially,
+    keeping the first successful adversarial per sample. Each entry is
+    a closure `fn(images, labels) -> adv`."""
+    B = images.shape[0]
+    adv = images
+    fooled = jnp.zeros((B,), bool)
+    for fn in attacks:
+        cand = fn(images, labels)
+        is_adv = jnp.argmax(
+            logits_fn(variables, cand), axis=1) != labels
+        take = is_adv & ~fooled
+        adv = jnp.where(take.reshape(B, 1, 1, 1), cand, adv)
+        fooled = fooled | is_adv
+        if bool(jnp.all(fooled)):
+            break
+    return adv
+
+
+def autoattack(logits_fn, variables, images, labels, norm="Linf",
+               eps=8 / 255, n_classes=10, seed=0,
+               square_queries=5000):
+    """torchattacks/attacks/autoattack.py (version='standard'):
+    MultiAttack of APGD-CE, APGD-T, FAB, Square (autoattack.py:48-54)."""
+    if norm not in ("Linf", "L2"):
+        raise ValueError(norm)
+    fns = [
+        lambda x, y: apgd(logits_fn, variables, x, y, norm=norm,
+                          eps=eps, seed=seed, loss="ce", n_restarts=1),
+        lambda x, y: apgdt(logits_fn, variables, x, y, norm=norm,
+                           eps=eps, seed=seed, n_classes=n_classes,
+                           n_restarts=1),
+        lambda x, y: fab(logits_fn, variables, x, y, norm=norm,
+                         eps=eps, seed=seed, n_restarts=1),
+    ]
+    if norm == "Linf":
+        fns.append(lambda x, y: square(
+            logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
+            n_queries=square_queries))
+    return multiattack(fns, logits_fn, variables, images, labels)
