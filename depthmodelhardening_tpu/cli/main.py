@@ -326,6 +326,19 @@ def cmd_export_gt(args):
     print(f"saved {out}")
 
 
+def cmd_fetch_splits(args):
+    from ..data import splits as sp
+
+    names = args.splits.split(",") if args.splits else None
+    if args.from_dir:
+        files = sp.import_splits(args.from_dir, args.dest, names)
+    elif args.generate_odom:
+        files = sp.make_odom_split(args.dest)
+    else:
+        files = sp.fetch_splits(args.dest, names)
+    print(f"wrote {len(files)} split files under {args.dest}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="depthmodelhardening_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -438,6 +451,19 @@ def build_parser():
     pg.add_argument("--split-dir", required=True)
     pg.add_argument("--split", default="eigen")
     pg.set_defaults(fn=cmd_export_gt)
+
+    ps = sub.add_parser(
+        "fetch-splits",
+        help="download/import/generate KITTI split lists")
+    ps.add_argument("--dest", required=True)
+    ps.add_argument("--from-dir", default=None,
+                    help="import from a local Monodepth2-style "
+                         "splits directory instead of downloading")
+    ps.add_argument("--generate-odom", action="store_true",
+                    help="generate the odometry split locally")
+    ps.add_argument("--splits", default=None,
+                    help="comma-separated subset, e.g. eigen,odom")
+    ps.set_defaults(fn=cmd_fetch_splits)
 
     return p
 

@@ -202,3 +202,37 @@ def test_prefetch_loader_early_break_no_hang(raw_tree):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+def test_splits_import_and_odom_generation(tmp_path):
+    from depthmodelhardening_tpu.data import splits as sp
+
+    # fake monodepth2-style checkout
+    src = tmp_path / "src" / "eigen"
+    src.mkdir(parents=True)
+    (src / "test_files.txt").write_text(
+        "2011_09_26/2011_09_26_drive_0002_sync 69 l\n"
+        "2011_09_26/2011_09_26_drive_0002_sync 54 r\n")
+    dest = tmp_path / "dest"
+    copied = sp.import_splits(str(tmp_path / "src"), str(dest))
+    assert len(copied) == 1
+    assert (dest / "eigen" / "test_files.txt").read_text().startswith(
+        "2011_09_26")
+
+    # malformed frame index rejected
+    (src / "test_files.txt").write_text("folder notanumber l\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sp.import_splits(str(tmp_path / "src"), str(dest))
+
+    # odom split generated locally with neighbor-safe frame ranges
+    written = sp.make_odom_split(str(dest))
+    assert len(written) == 4
+    lines09 = (dest / "odom" / "test_files_09.txt").read_text()
+    assert lines09.splitlines()[0] == "09 0 l"
+    train = (dest / "odom" / "train_files.txt").read_text().splitlines()
+    seqs = {ln.split()[0] for ln in train}
+    assert seqs <= {f"{i:02d}" for i in range(9)}
+    frames0 = [int(ln.split()[1]) for ln in train
+               if ln.split()[0] == "00"]
+    assert min(frames0) >= 1 and max(frames0) <= 4539
