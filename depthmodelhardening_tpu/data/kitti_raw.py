@@ -170,6 +170,44 @@ class KittiRawDataset:
         return item
 
 
+class KittiOdomDataset(KittiRawDataset):
+    """KITTI odometry benchmark layout (kitti_dataset.py:88-101):
+    <data_path>/sequences/<seq:02d>/image_{2,3}/<frame:06d>.png, split
+    lines carry the sequence number as the folder."""
+
+    def image_path(self, folder: str, frame_index: int, side: str) -> str:
+        fname = f"{frame_index:06d}{self.img_ext}"
+        return os.path.join(self.data_path,
+                            f"sequences/{int(folder):02d}",
+                            f"image_{SIDE_MAP[side]}", fname)
+
+    def get_depth(self, folder: str, frame_index: int,
+                  side: str) -> np.ndarray:
+        raise NotImplementedError(
+            "the odometry benchmark has no depth ground truth")
+
+
+class KittiDepthDataset(KittiRawDataset):
+    """KITTI depth-benchmark ground truth (kitti_dataset.py:104-134):
+    raw-layout images + improved dense depth PNGs under
+    <folder>/proj_depth/groundtruth/image_0{2,3}/<frame:010d>.png,
+    16-bit, scale 1/256, nearest-resized to working resolution."""
+
+    def get_depth(self, folder: str, frame_index: int,
+                  side: str) -> np.ndarray:
+        from PIL import Image
+
+        path = os.path.join(
+            self.data_path, folder,
+            f"proj_depth/groundtruth/image_0{SIDE_MAP[side]}",
+            f"{frame_index:010d}.png")
+        img = Image.open(path)
+        # PIL size is (W, H); reference resizes to full_res_shape
+        # (1242, 375) with NEAREST before the /256 scale
+        img = img.resize((self.ori_w, self.ori_h), Image.NEAREST)
+        return np.asarray(img).astype(np.float32) / 256.0
+
+
 def collate(items: Sequence[Dict]) -> Dict:
     """Stack items into numpy batch arrays for the jitted step."""
     frames = {fid: np.stack([it["frames"][fid] for it in items])

@@ -7,6 +7,14 @@ encoder skip connections, sigmoid disparity heads at 4 scales.
 Module names mirror the torch decoder ModuleList ordering via explicit
 ("upconv", i, j)/("dispconv", s) names so torch_import can map
 "decoder.<idx>..." keys mechanically.
+
+`fuse_upconv=True` computes each upsample->upconv_i_1 pair with the
+exact phase-packed 2x2 conv rewrite (ops/fused_upconv.py): the
+upsampled branch of the conv runs at pre-upsample resolution with 4x
+the output lanes and no materialized upsampled tensor, the skip branch
+stays a plain reflect-pad conv, and the two are summed — numerically
+identical to the naive path (same parameter tree, same values up to
+float associativity), just a faster XLA program on TPU.
 """
 
 from __future__ import annotations
@@ -14,9 +22,11 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import nearest_upsample2
+from ..ops.fused_upconv import fused_upsample_conv3x3
 
 NUM_CH_DEC = (16, 32, 64, 128, 256)
 
@@ -46,6 +56,53 @@ class ConvBlock(nn.Module):
                               name="conv")(x))
 
 
+class _ConvParams(nn.Module):
+    """Bare kernel/bias with nn.Conv's param names and inits, for code
+    paths that consume the kernel directly (the fused upconv)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,))
+        return kernel, bias
+
+
+class _Conv3x3Params(nn.Module):
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.in_features,
+                           name="conv")()
+
+
+class _ConvBlockParams(nn.Module):
+    """Parameter tree identical to ConvBlock(name=...)(Conv3x3(name=
+    "conv")(nn.Conv(name="conv"))), values consumed by the caller."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _Conv3x3Params(self.features, self.in_features,
+                              name="conv")()
+
+
+def _reflect_conv3x3(x, kernel, dtype):
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp.astype(dtype), kernel.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class DepthDecoder(nn.Module):
     """Multi-scale disparity decoder.
 
@@ -56,6 +113,7 @@ class DepthDecoder(nn.Module):
     num_output_channels: int = 1
     use_skips: bool = True
     dtype: Any = jnp.float32
+    fuse_upconv: bool = False
 
     @nn.compact
     def __call__(self, input_features) -> Dict[Tuple[str, int], jnp.ndarray]:
@@ -64,12 +122,26 @@ class DepthDecoder(nn.Module):
         for i in range(4, -1, -1):
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
                           name=f"upconv_{i}_0")(x)
-            x = nearest_upsample2(x)
-            if self.use_skips and i > 0:
-                x = jnp.concatenate(
-                    [x, input_features[i - 1].astype(self.dtype)], axis=-1)
-            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
-                          name=f"upconv_{i}_1")(x)
+            skip = (input_features[i - 1].astype(self.dtype)
+                    if self.use_skips and i > 0 else None)
+            if self.fuse_upconv:
+                ch_up = x.shape[-1]
+                cin = ch_up + (skip.shape[-1] if skip is not None
+                               else 0)
+                kernel, bias = _ConvBlockParams(
+                    NUM_CH_DEC[i], cin, name=f"upconv_{i}_1")()
+                y = fused_upsample_conv3x3(
+                    x, kernel[:, :, :ch_up].astype(self.dtype))
+                if skip is not None:
+                    y = y + _reflect_conv3x3(
+                        skip, kernel[:, :, ch_up:], self.dtype)
+                x = nn.elu(y + bias.astype(self.dtype))
+            else:
+                x = nearest_upsample2(x)
+                if skip is not None:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                              name=f"upconv_{i}_1")(x)
             if i in self.scales:
                 disp = Conv3x3(self.num_output_channels, dtype=self.dtype,
                                name=f"dispconv_{i}")(x)

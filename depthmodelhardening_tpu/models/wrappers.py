@@ -35,12 +35,15 @@ class MonodepthModel(nn.Module):
     num_layers: int = 18
     scales: Sequence[int] = (0, 1, 2, 3)
     dtype: Any = jnp.float32
+    fuse_upconv: bool = False
 
     def setup(self):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
                                      dtype=self.dtype, name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
-                                    dtype=self.dtype, name="decoder")
+                                    dtype=self.dtype,
+                                    fuse_upconv=self.fuse_upconv,
+                                    name="decoder")
 
     def __call__(self, x, train: bool = False):
         features = self.encoder(x, train=train)
@@ -112,6 +115,7 @@ class ManyDepthModel(nn.Module):
     input_width: int = 640
     num_depth_bins: int = 96
     dtype: Any = jnp.float32
+    fuse_upconv: bool = False
 
     def setup(self):
         from .matching_encoder import ResnetEncoderMatching
@@ -122,7 +126,9 @@ class ManyDepthModel(nn.Module):
             num_depth_bins=self.num_depth_bins, adaptive_bins=True,
             depth_binning="linear", dtype=self.dtype, name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
-                                    dtype=self.dtype, name="decoder")
+                                    dtype=self.dtype,
+                                    fuse_upconv=self.fuse_upconv,
+                                    name="decoder")
 
     def __call__(self, x, K, invK, min_depth_bin=0.1,
                  max_depth_bin=20.0, train: bool = False):
@@ -134,6 +140,25 @@ class ManyDepthModel(nn.Module):
             max_depth_bin=max_depth_bin, train=train)
         outputs = self.decoder(features)
         return manydepth_rescale(outputs[("disp", 0)])
+
+    def multi_frame(self, x, lookup_frames, rel_poses, K, invK,
+                    min_depth_bin=0.1, max_depth_bin=20.0,
+                    train: bool = False):
+        """Real multi-frame ManyDepth inference: cost volume built from
+        actual lookup frames + relative poses (the upstream ManyDepth
+        test-time flow; the hardening reference zeroes lookups,
+        manydepth2/trainer.py:360,376 — this is the beyond-reference
+        path). Returns (disp, lowest_cost, confidence_mask).
+
+        lookup_frames: (B, N, H, W, 3); rel_poses: (B, N, 4, 4)
+        current->lookup camera transforms."""
+        features, lowest_cost, confidence = self.encoder(
+            x, lookup_frames, rel_poses, K, invK,
+            min_depth_bin=min_depth_bin, max_depth_bin=max_depth_bin,
+            train=train)
+        outputs = self.decoder(features)
+        return (manydepth_rescale(outputs[("disp", 0)]), lowest_cost,
+                confidence)
 
 
 class ManyDepthTrainModel(nn.Module):
@@ -154,6 +179,7 @@ class ManyDepthTrainModel(nn.Module):
     min_depth_bin: float = 0.1
     max_depth_bin: float = 20.0
     dtype: Any = jnp.float32
+    fuse_upconv: bool = False
 
     def setup(self):
         from .matching_encoder import ResnetEncoderMatching
@@ -166,7 +192,9 @@ class ManyDepthTrainModel(nn.Module):
             max_depth_bin=self.max_depth_bin, dtype=self.dtype,
             name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
-                                    dtype=self.dtype, name="decoder")
+                                    dtype=self.dtype,
+                                    fuse_upconv=self.fuse_upconv,
+                                    name="decoder")
 
     def _quarter_K(self, B):
         import numpy as np

@@ -236,3 +236,30 @@ def test_splits_import_and_odom_generation(tmp_path):
     frames0 = [int(ln.split()[1]) for ln in train
                if ln.split()[0] == "00"]
     assert min(frames0) >= 1 and max(frames0) <= 4539
+
+
+def test_odom_and_depth_dataset_paths(tmp_path):
+    import numpy as np
+    from PIL import Image
+    from depthmodelhardening_tpu.data.kitti_raw import (
+        KittiOdomDataset, KittiDepthDataset)
+
+    odom = KittiOdomDataset(str(tmp_path), ["09 7 l"])
+    assert odom.image_path("09", 7, "l").endswith(
+        "sequences/09/image_2/000007.png")
+    assert odom.image_path("9", 7, "r").endswith(
+        "sequences/09/image_3/000007.png")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        odom.get_depth("09", 7, "l")
+
+    ds = KittiDepthDataset(str(tmp_path), ["drive_x 3 l"],
+                           ori_h=4, ori_w=6)
+    gt_dir = tmp_path / "drive_x" / "proj_depth" / "groundtruth" \
+        / "image_02"
+    gt_dir.mkdir(parents=True)
+    arr = (np.arange(12).reshape(3, 4) * 256).astype(np.uint16)
+    Image.fromarray(arr, mode="I;16").save(gt_dir / "0000000003.png")
+    depth = ds.get_depth("drive_x", 3, "l")
+    assert depth.shape == (4, 6)
+    assert float(depth.max()) == 11.0  # /256 scaling applied

@@ -90,3 +90,32 @@ def test_manydepth_model_forward():
     # sigmoid/8.6437 bound
     assert float(disp.max()) <= 1.0 / 8.6437 + 1e-6
     assert np.isfinite(np.asarray(disp)).all()
+
+
+def test_manydepth_multi_frame_forward():
+    import numpy as np
+    from depthmodelhardening_tpu.models.wrappers import ManyDepthModel
+
+    H, W = 64, 96
+    m = ManyDepthModel(input_height=H, input_width=W,
+                       num_depth_bins=8)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (1, H, W, 3))
+    lookup = x[:, None] * 0.9
+    pose = jnp.eye(4)[None, None]
+    pose = pose.at[:, :, 0, 3].set(0.1)  # small translation
+    K = np.array([[0.58 * W // 4, 0, 0.5 * W // 4, 0],
+                  [0, 1.92 * H // 4, 0.5 * H // 4, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    Kb = jnp.asarray(K)[None]
+    invKb = jnp.asarray(np.linalg.pinv(K))[None]
+    v = m.init(k, x, Kb, invKb)
+    disp, lowest_cost, conf = m.apply(
+        v, x, lookup, pose, Kb, invKb, method=ManyDepthModel.multi_frame)
+    assert disp.shape == (1, H, W, 1)
+    assert lowest_cost.shape[1:3] == (H // 4, W // 4)
+    assert conf.shape[1:3] == (H // 4, W // 4)
+    assert bool(jnp.all(jnp.isfinite(disp)))
+    # real lookups must actually change the prediction vs zero lookups
+    disp0 = m.apply(v, x, Kb, invKb)
+    assert float(jnp.max(jnp.abs(disp - disp0))) > 0
