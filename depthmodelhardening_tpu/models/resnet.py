@@ -133,6 +133,18 @@ def run_stage(x, stage: int, num_layers: int, dtype, train: bool):
     return x
 
 
+class _StemKernel(nn.Module):
+    """Bare stem kernel with nn.Conv's param name/init (checkpoint-
+    compatible with the naive conv1)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class ResnetEncoder(nn.Module):
     """ResNet trunk returning the 5 multi-scale feature maps.
 
@@ -144,12 +156,24 @@ class ResnetEncoder(nn.Module):
     num_layers: int = 18
     num_input_images: int = 1
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ((x - 0.45) / 0.225).astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.s2d_stem:
+            # exact space-to-depth rewrite of the 7x7/s2 stem: Cin=3
+            # occupies 3/128 MXU lanes; blocked Cin=12 at quarter
+            # positions is ~4x denser. Same "conv1/kernel" param.
+            from ..ops.fused_upconv import s2d_stem_conv
+
+            kernel = _StemKernel((7, 7, 3 * self.num_input_images, 64),
+                                 name="conv1")()
+            x = s2d_stem_conv(x, kernel.astype(self.dtype))
+        else:
+            x = nn.Conv(64, (7, 7), strides=2,
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
         x = _bn("bn1", self.dtype)(x, use_running_average=not train)
         f0 = nn.relu(x)
 

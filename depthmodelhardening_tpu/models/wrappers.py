@@ -36,10 +36,13 @@ class MonodepthModel(nn.Module):
     scales: Sequence[int] = (0, 1, 2, 3)
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
+    s2d_stem: bool = False
 
     def setup(self):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
-                                     dtype=self.dtype, name="encoder")
+                                     dtype=self.dtype,
+                                     s2d_stem=self.s2d_stem,
+                                     name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,

@@ -79,3 +79,48 @@ def fused_upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     if not interleave:
         return out.transpose(0, 1, 3, 2, 4, 5)   # (B,h,w,2,2,C)
     return out.reshape(B, 2 * h, 2 * w, cout)
+
+
+def pack_stem_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(7,7,Cin,Cout) stride-2 stem kernel -> (4,4,4*Cin,Cout) kernel
+    over 2x2 space-to-depth blocked input.
+
+    Output row i of the stride-2 conv taps full-res rows 2i+p-3
+    (p=0..6), i.e. blocked rows i+(u-2) at phase a with p = 2(u-2)+3+a;
+    (u=0, a=0) falls outside the 7-tap window and gets a zero tap.
+    Blocked channel order (a, b, c) matches a reshape-based
+    space-to-depth with c fastest."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    zero = jnp.zeros((cin, cout), kernel.dtype)
+    rows = []
+    for u in range(4):
+        cols = []
+        for v in range(4):
+            taps = []
+            for a in range(2):
+                p = 2 * (u - 2) + 3 + a
+                for b in range(2):
+                    q = 2 * (v - 2) + 3 + b
+                    taps.append(kernel[p, q]
+                                if 0 <= p < 7 and 0 <= q < 7 else zero)
+            cols.append(jnp.stack(taps, 0).reshape(4 * cin, cout))
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)  # (4,4,4*Cin,Cout)
+
+
+def s2d_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """== conv7x7_stride2_pad3(x, kernel) (the ResNet stem), computed as
+    a stride-1 4x4 conv over the 2x2 space-to-depth blocking of x —
+    4x the input channels (12 vs 3), quarter the positions, exact to
+    float associativity. H and W must be even."""
+    B, H, W, C = x.shape
+    if H % 2 or W % 2:
+        raise ValueError("s2d stem needs even H, W")
+    xb = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2,
+                                                4 * C)
+    kp = pack_stem_kernel(kernel).astype(x.dtype)
+    xp = jnp.pad(xb, ((0, 0), (2, 1), (2, 1), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp, kp, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -90,3 +90,37 @@ def test_decoder_fused_flag_identical_params_and_outputs():
         np.testing.assert_allclose(np.asarray(out_f[key]),
                                    np.asarray(out_n[key]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_s2d_stem_matches_conv7x7():
+    from depthmodelhardening_tpu.ops.fused_upconv import s2d_stem_conv
+
+    k = jax.random.PRNGKey(4)
+    x = jax.random.normal(k, (2, 12, 16, 3))
+    kernel = jax.random.normal(jax.random.fold_in(k, 1),
+                               (7, 7, 3, 5)) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = s2d_stem_conv(x, kernel)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_s2d_flag_identical_params_and_outputs():
+    from depthmodelhardening_tpu.models.resnet import ResnetEncoder
+
+    k = jax.random.PRNGKey(5)
+    x = jax.random.uniform(k, (1, 32, 64, 3))
+    naive = ResnetEncoder(num_layers=18)
+    fused = ResnetEncoder(num_layers=18, s2d_stem=True)
+    v = naive.init(k, x)
+    v2 = fused.init(k, x)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v2)
+    fn = naive.apply(v, x)
+    ff = fused.apply(v, x)
+    for a, b in zip(fn, ff):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
