@@ -52,7 +52,13 @@ def main():
     cfg = DistillConfig(adv_type="object", epsilon=0.1, alpha=0.005,
                         steps=10, batch_size=BATCH,
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
-                        compute_dtype="bfloat16")
+                        compute_dtype="bfloat16",
+                        # measured wins on v5e (docs/PERFORMANCE.md):
+                        # attack objective on a 512-wide object-centered
+                        # crop (~2x cheaper model pass in the PGD loop,
+                        # sign-preserving gradient signal) + exact
+                        # space-to-depth stem (-12% model bwd)
+                        attack_crop_w=512, s2d_stem=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()

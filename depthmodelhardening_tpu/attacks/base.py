@@ -70,6 +70,16 @@ class PhysObjAttackConfig:
     # texture-gradient adjoint for the tiled path: "approx" (fast
     # continuous adjoint, default) | "exact" | "scatter" (autodiff)
     adjoint_mode: str = "approx"
+    # Inner-loop model crop: when set (e.g. 512), the attack objective
+    # runs the depth model on a width-cropped window centered on the
+    # object instead of the full scene_w frame — the targeted MSE only
+    # reads disparities inside the object mask, and the model's
+    # effective receptive field is covered by the >=(crop-tile)/2 px
+    # of kept context, so the gradient signal is near-identical at
+    # roughly scene_w/crop the model cost. None reproduces the
+    # reference full-frame objective (phy_obj_atk.py:83-94). Final
+    # composites and the hardening train step are never cropped.
+    attack_crop_w: Optional[int] = None
 
     def make_eot(self) -> EoTCompositor:
         P = self.projection
@@ -158,8 +168,39 @@ class PhysObjAttack:
     def _targeted_cost(self, variables, adv_scenes, masks):
         """Targeted zero-disparity MSE inside the object mask
         (phy_obj_atk.py:94): mean((disp * mask)^2)."""
+        cw = self.cfg.attack_crop_w
+        if cw is not None and cw < adv_scenes.shape[2]:
+            adv_scenes, masks, scale = self._crop_to_object(
+                adv_scenes, masks, cw)
+            disp = self.predict_fn(variables, adv_scenes)
+            # rescale the crop mean back to the full-frame mean so
+            # magnitude-sensitive optimizers (Adam/APGD checkpoints)
+            # see reference-scale costs
+            return jnp.mean((disp * masks) ** 2) * scale
         disp = self.predict_fn(variables, adv_scenes)
         return jnp.mean((disp * masks) ** 2)
+
+    def _crop_to_object(self, adv_scenes, masks, cw: int):
+        """Width-crop each sample to `cw` columns centered on the object
+        mask's center of mass (integer offset, stop-gradient)."""
+        B, H, W, _ = adv_scenes.shape
+        xs = jnp.arange(W, dtype=jnp.float32)
+        msum = jnp.sum(masks, axis=(1, 2, 3))
+        cx = jnp.where(
+            msum > 0,
+            jnp.sum(masks[..., 0] * xs[None, None, :], axis=(1, 2))
+            / jnp.maximum(msum, 1e-6),
+            W / 2.0)
+        x0 = jnp.clip(jnp.round(cx - cw / 2).astype(jnp.int32),
+                      0, W - cw)
+        x0 = jax.lax.stop_gradient(x0)
+
+        def crop(img, off):
+            return jax.lax.dynamic_slice(
+                img, (0, off, 0), (H, cw, img.shape[-1]))
+
+        return (jax.vmap(crop)(adv_scenes, x0),
+                jax.vmap(crop)(masks, x0), cw / W)
 
     def _final_za(self, rng, batch: int):
         """EoT sample for the final composites; subclasses with bespoke

@@ -181,7 +181,10 @@ def cmd_train_distill(args):
                         alpha=args.alpha, steps=args.step,
                         batch_size=args.batch_size,
                         learning_rate=args.lr, epochs=args.epochs,
-                        compute_dtype=args.compute_dtype)
+                        compute_dtype=args.compute_dtype,
+                        attack_crop_w=args.attack_crop_w,
+                        s2d_stem=args.s2d_stem,
+                        fuse_upconv=args.fuse_upconv)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
                              car_mask, teacher,
                              init_variables=variables)
@@ -240,13 +243,15 @@ def cmd_train_hardening(args):
         selfsup=SelfSupConfig(height=args.height, width=args.width,
                               frame_ids=frame_ids),
         adv=AdvSynthConfig(norm_type=args.norm_type, steps=args.step,
-                           attack_batch_size=args.attack_batch_size),
+                           attack_batch_size=args.attack_batch_size,
+                           attack_crop_w=args.attack_crop_w),
         supervised_adv=args.supervised_adv and adv_train,
         contrastive_learning=args.contrastive_learning and adv_train,
         learning_rate=args.lr, batch_size=args.batch_size,
         compute_dtype=args.compute_dtype,
         use_depth_hints=args.use_depth_hints,
-        model_family=args.model_family)
+        model_family=args.model_family,
+        s2d_stem=args.s2d_stem, fuse_upconv=args.fuse_upconv)
 
     lines = load_split(args.split_dir, args.split, "train")
     ds = KittiRawDataset(args.data_path, lines, frame_ids=frame_ids)
@@ -339,6 +344,16 @@ def cmd_fetch_splits(args):
     print(f"wrote {len(files)} split files under {args.dest}")
 
 
+def _add_perf_args(p):
+    p.add_argument("--attack-crop-w", type=int, default=None,
+                   help="width-cropped attack objective "
+                        "(attacks/base.py); None = full frame")
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="exact space-to-depth stem conv rewrite")
+    p.add_argument("--fuse-upconv", action="store_true",
+                   help="exact fused upsample+conv decoder rewrite")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="depthmodelhardening_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -401,6 +416,7 @@ def build_parser():
     pd.add_argument("--compute-dtype", default="bfloat16")
     pd.add_argument("--train-list", default="trainval.txt")
     pd.add_argument("--val-list", default="test.txt")
+    _add_perf_args(pd)
     pd.set_defaults(fn=cmd_train_distill)
 
     ph = sub.add_parser("train-hardening")
@@ -427,6 +443,7 @@ def build_parser():
     ph.add_argument("--no-adv-train", action="store_true",
                     help="vanilla self-supervised training (the "
                          "reference trainer with adv_train off)")
+    _add_perf_args(ph)
     ph.add_argument("--model-family", default="monodepth2",
                     choices=["monodepth2", "manydepth"])
     ph.add_argument("--data-parallel", action="store_true")

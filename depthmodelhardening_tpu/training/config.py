@@ -64,6 +64,9 @@ class AdvSynthConfig:
     l0_thresh: float = 0.1
     attack_batch_size: int = 16  # args['batch_size'] used by the attack
     color_aug: bool = False  # adv_args['color_aug'] (mono_dataset.py:297)
+    # width-cropped attack objective (attacks/base.py attack_crop_w):
+    # None = reference full-frame model pass in the PGD loop
+    attack_crop_w: Optional[int] = None
     half_no_synthesis: bool = False
     obj_name: str = "BMW"
     baseline: float = 0.54  # stereo extrinsic (mono_dataset.py:116)
@@ -100,6 +103,10 @@ class HardeningConfig:
     # (manydepth2/trainer.py:345-386)
     model_family: str = "monodepth2"
     manydepth_num_depth_bins: int = 96
+    # exact TPU conv rewrites (models/resnet.py s2d_stem,
+    # models/depth_decoder.py fuse_upconv) — numerics identical
+    s2d_stem: bool = False
+    fuse_upconv: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +125,9 @@ class DistillConfig:
     epochs: int = 20
     compute_dtype: str = "float32"
     obj_name: str = "BMW"
+    attack_crop_w: Optional[int] = None
+    s2d_stem: bool = False
+    fuse_upconv: bool = False
     scene_h: int = 320
     scene_w: int = 1024
     ori_h: int = 375

@@ -53,7 +53,8 @@ def build_attack(cfg: DistillConfig, predict_fn, obj_img, obj_mask):
         dist_range=tuple(float(x) for x in EVAL_DIST_RANGE),
         scene_h=cfg.scene_h, scene_w=cfg.scene_w,
         ori_h=cfg.ori_h, ori_w=cfg.ori_w,
-        eval_pin_z0=6.1 if cfg.adv_type == "object_l0" else 7.0)
+        eval_pin_z0=6.1 if cfg.adv_type == "object_l0" else 7.0,
+        attack_crop_w=cfg.attack_crop_w)
     if cfg.adv_type == "object":
         return PGDObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,
                                eps=cfg.epsilon, alpha=cfg.alpha,
@@ -81,7 +82,9 @@ class DistillTrainer:
         self.mesh = mesh
         self.teacher = teacher
         self.model = MonodepthModel(num_layers=num_layers,
-                                    dtype=jnp.dtype(cfg.compute_dtype))
+                                    dtype=jnp.dtype(cfg.compute_dtype),
+                                    s2d_stem=cfg.s2d_stem,
+                                    fuse_upconv=cfg.fuse_upconv)
 
         def student_predict(variables, images):
             return self.model.apply(variables, images, train=False)

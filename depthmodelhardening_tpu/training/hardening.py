@@ -96,7 +96,9 @@ class HardeningTrainer:
                 dtype=dtype)
         else:
             self.model = MonodepthModel(num_layers=cfg.num_layers,
-                                        scales=ss.scales, dtype=dtype)
+                                        scales=ss.scales, dtype=dtype,
+                                        s2d_stem=cfg.s2d_stem,
+                                        fuse_upconv=cfg.fuse_upconv)
         self.simsiam = SimSiam() if cfg.contrastive_learning else None
         self.use_pose = ss.use_pose_net
         if self.use_pose:
@@ -122,7 +124,8 @@ class HardeningTrainer:
             obj_h=oh, obj_w=ow,
             dist_range=tuple(float(x) for x in TRAIN_DIST_RANGE),
             scene_h=ss.height, scene_w=ss.width,
-            ori_h=cfg.adv.ori_h, ori_w=cfg.adv.ori_w)
+            ori_h=cfg.adv.ori_h, ori_w=cfg.adv.ori_w,
+            attack_crop_w=cfg.adv.attack_crop_w)
         if cfg.adv.norm_type == "l_inf":
             self.attack = PGDObjectAttack(
                 student_predict, obj_img, obj_mask, atk_cfg,

@@ -139,3 +139,41 @@ def test_l0_cal_l0_counts_pixels(tiny, obj_and_mask):
     pos = pos.at[0, 0, 0, 0].set(0.5)   # one pixel above threshold
     pos = pos.at[0, 1, 1, 1].set(1e-4)  # below threshold -> not counted
     assert float(atk._cal_l0(pos, neg)) == 1.0
+
+
+def test_attack_crop_w_cost_and_effectiveness(tiny, scene):
+    """attack_crop_w: cost matches the full-frame objective scale and
+    the cropped-objective attack still beats the benign texture."""
+    import dataclasses
+    from depthmodelhardening_tpu.data.synthetic import make_car_object
+
+    obj, mask = make_car_object(width=OBJ_W, height=OBJ_H, seed=3)
+    cfg = PhysObjAttackConfig(obj_h=OBJ_H, obj_w=OBJ_W, scene_h=96,
+                              scene_w=320, ori_h=375, ori_w=1242)
+    cfg_crop = dataclasses.replace(cfg, attack_crop_w=160)
+
+    full = PGDObjectAttack(tiny.predict, obj, mask, cfg,
+                           eps=0.1, alpha=0.05, steps=2)
+    crop = PGDObjectAttack(tiny.predict, obj, mask, cfg_crop,
+                           eps=0.1, alpha=0.05, steps=2)
+
+    # cost parity on identical inputs (the crop contains the mask and
+    # the mean is rescaled by cw/W)
+    rng = jax.random.PRNGKey(0)
+    scenes = jnp.broadcast_to(scene, (2,) + scene.shape[1:])
+    z0s, alphas = full._sample_za(rng, 2)
+    adv_scenes, masks = full._model_view(scenes, obj, z0s, alphas)
+    c_full = full._targeted_cost(tiny.variables, adv_scenes, masks)
+    c_crop = crop._targeted_cost(tiny.variables, adv_scenes, masks)
+    assert abs(float(c_full) - float(c_crop)) / float(c_full) < 0.02
+
+    # effectiveness: optimized texture increases the targeted cost
+    # less... (targeted-to-zero: optimization DECREASES cost)
+    adv, ben, masks_out, obj_adv = crop(tiny.variables, scene, 2,
+                                        jax.random.PRNGKey(1))
+    assert obj_adv.shape == obj.shape
+    d_adv = tiny.predict(tiny.variables, adv)
+    d_ben = tiny.predict(tiny.variables, ben)
+    cost_adv = float(jnp.mean((d_adv * masks_out) ** 2))
+    cost_ben = float(jnp.mean((d_ben * masks_out) ** 2))
+    assert cost_adv <= cost_ben + 1e-7
