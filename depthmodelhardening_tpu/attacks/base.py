@@ -81,6 +81,21 @@ class PhysObjAttackConfig:
     # composites and the hardening train step are never cropped.
     attack_crop_w: Optional[int] = None
 
+    def __post_init__(self):
+        cw = self.attack_crop_w
+        if cw is not None and cw < self.scene_w:
+            # the crop must contain the object tile or the rescaled
+            # cost no longer matches the full-frame objective
+            if cw < min(self.tile_w, self.scene_w):
+                raise ValueError(
+                    f"attack_crop_w={cw} is narrower than the object "
+                    f"tile (tile_w={self.tile_w}); the mask would be "
+                    "truncated")
+            if cw % 32:
+                raise ValueError(
+                    f"attack_crop_w={cw} must be a multiple of 32 "
+                    "(encoder downsamples 5x by 2)")
+
     def make_eot(self) -> EoTCompositor:
         P = self.projection
         if P is None:

@@ -324,32 +324,36 @@ def deepfool(logits_fn, variables, images, labels, steps=50,
     return adv
 
 
+def _input_diversity(x, key, low_h, low_w, diversity_prob):
+    """DI-FGSM random resize+pad input diversity, shared by difgsm and
+    tifgsm (difgsm.py:28-46). The resize target is one static draw per
+    attack (the reference samples it per step; static keeps shapes
+    jit-stable)."""
+    from ..ops.resize import bilinear_resize
+
+    B, H, W, C = x.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    small = bilinear_resize(x, low_h, low_w)
+    top = jax.random.randint(k1, (), 0, H - low_h + 1)
+    left = jax.random.randint(k2, (), 0, W - low_w + 1)
+    padded = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(x), small, (0, top, left, 0))
+    use = jax.random.uniform(k3, ()) < diversity_prob
+    return jnp.where(use, padded, x)
+
+
 def difgsm(logits_fn, variables, images, labels, eps=8 / 255,
            alpha=2 / 255, steps=10, decay=0.0, resize_rate=0.9,
            diversity_prob=0.5, rng=None, targeted=False):
     """torchattacks/attacks/difgsm.py: MI-FGSM with random
     resize+pad input diversity at each step."""
-    from ..ops.resize import bilinear_resize
-
     rng = jax.random.PRNGKey(0) if rng is None else rng
     B, H, W, C = images.shape
-    low = int(H * resize_rate) if resize_rate < 1 else H
+    low_h = int(H * resize_rate) if resize_rate < 1 else H
+    low_w = int(W * resize_rate) if resize_rate < 1 else W
 
     def diversify(x, key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        # static resize target (the reference samples it; one draw per
-        # attack keeps shapes static under jit)
-        rnd = low
-        small = bilinear_resize(x, rnd, int(W * resize_rate))
-        ph = H - small.shape[1]
-        pw = W - small.shape[2]
-        top = jax.random.randint(k1, (), 0, ph + 1)
-        left = jax.random.randint(k2, (), 0, pw + 1)
-        padded = jnp.zeros_like(x)
-        padded = jax.lax.dynamic_update_slice(
-            padded, small, (0, top, left, 0))
-        use = jax.random.uniform(k3, ()) < diversity_prob
-        return jnp.where(use, padded, x)
+        return _input_diversity(x, key, low_h, low_w, diversity_prob)
 
     def body(i, carry):
         adv, momentum = carry
@@ -484,8 +488,6 @@ def tifgsm(logits_fn, variables, images, labels, eps=8 / 255,
     MI-FGSM whose gradient is smoothed by a depthwise Gaussian kernel
     (len 15, nsig 3 defaults per the paper), with DI-FGSM-style random
     resize+pad input diversity."""
-    from ..ops.resize import bilinear_resize
-
     rng = jax.random.PRNGKey(0) if rng is None else rng
     B, H, W, C = images.shape
     kern = _ti_kernel(kernel_name, len_kernel, nsig)
@@ -493,14 +495,7 @@ def tifgsm(logits_fn, variables, images, labels, eps=8 / 255,
     low_w = int(W * resize_rate) if resize_rate < 1 else W
 
     def diversify(x, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        small = bilinear_resize(x, low_h, low_w)
-        top = jax.random.randint(k1, (), 0, H - low_h + 1)
-        left = jax.random.randint(k2, (), 0, W - low_w + 1)
-        padded = jax.lax.dynamic_update_slice(
-            jnp.zeros_like(x), small, (0, top, left, 0))
-        use = jax.random.uniform(k3, ()) < diversity_prob
-        return jnp.where(use, padded, x)
+        return _input_diversity(x, key, low_h, low_w, diversity_prob)
 
     adv = images
     if random_start:

@@ -134,6 +134,7 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
     preds = jnp.argmax(logits_fn(variables, x_adv), axis=1)
     found = preds != labels
     x_best = x_adv
+    grad_best = grad
     x_best_adv = jnp.where(found.reshape(bshape), x_adv, images)
     loss_best = loss_indiv
     # initial step 2*eps for both norms, with the L2 step applied to the
@@ -146,9 +147,9 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
     reduced_last_check = jnp.ones((B,), bool)
 
     def body(i, carry):
-        (x_adv, x_adv_old, grad, loss_best, x_best, x_best_adv, found,
-         step_size, loss_steps, loss_best_last_check,
-         reduced_last_check) = carry
+        (x_adv, x_adv_old, grad, loss_best, x_best, grad_best,
+         x_best_adv, found, step_size, loss_steps,
+         loss_best_last_check, reduced_last_check) = carry
 
         a = jnp.where(i == 0, 1.0, 0.75)
         if norm == "Linf":
@@ -171,18 +172,22 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
         loss_indiv, grad = loss_and_grad(x_adv)
         preds = jnp.argmax(logits_fn(variables, x_adv), axis=1)
         is_adv = preds != labels
-        x_best_adv = jnp.where((is_adv & ~found).reshape(bshape),
-                               x_adv, x_best_adv)
+        # the reference overwrites with the LATEST adversarial iterate
+        # every step (apgd.py:200-205)
+        x_best_adv = jnp.where(is_adv.reshape(bshape), x_adv,
+                               x_best_adv)
         found = found | is_adv
 
         improved = loss_indiv > loss_best
         x_best = jnp.where(improved.reshape(bshape), x_adv, x_best)
+        grad_best = jnp.where(improved.reshape(bshape), grad,
+                              grad_best)
         loss_best = jnp.maximum(loss_best, loss_indiv)
         loss_steps = loss_steps.at[i].set(loss_indiv)
 
         # checkpointed step-size control (apgd.py:244-267)
         def at_checkpoint(args):
-            (step_size, x_adv, loss_best_last_check,
+            (step_size, x_adv, grad, loss_best_last_check,
              reduced_last_check) = args
             k = ck_win[i]
             idx = jnp.arange(steps)
@@ -200,25 +205,32 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
             new_step = jnp.where(reduce.reshape(bshape),
                                  step_size / 2.0, step_size)
             new_x = jnp.where(reduce.reshape(bshape), x_best, x_adv)
-            return new_step, new_x, loss_best, reduce
+            # restarting from x_best also restores its gradient
+            # (apgd.py:269-271 grad = grad_best.clone())
+            new_grad = jnp.where(reduce.reshape(bshape), grad_best,
+                                 grad)
+            return new_step, new_x, new_grad, loss_best, reduce
 
-        (step_size, x_adv, loss_best_last_check,
+        (step_size, x_adv, grad, loss_best_last_check,
          reduced_last_check) = jax.lax.cond(
             ck_mask[i], at_checkpoint,
-            lambda args: (args[0], args[1], loss_best_last_check,
-                          reduced_last_check),
-            (step_size, x_adv, loss_best_last_check,
+            lambda args: (args[0], args[1], args[2],
+                          loss_best_last_check, reduced_last_check),
+            (step_size, x_adv, grad, loss_best_last_check,
              reduced_last_check))
 
-        return (x_adv, x_adv_old, grad, loss_best, x_best, x_best_adv,
-                found, step_size, loss_steps, loss_best_last_check,
-                reduced_last_check)
+        return (x_adv, x_adv_old, grad, loss_best, x_best, grad_best,
+                x_best_adv, found, step_size, loss_steps,
+                loss_best_last_check, reduced_last_check)
 
-    carry = (x_adv, x_adv, grad, loss_best, x_best, x_best_adv, found,
-             step_size, loss_steps, loss_best_last_check,
-             reduced_last_check)
+    carry = (x_adv, x_adv, grad, loss_best, x_best, grad_best,
+             x_best_adv, found, step_size, loss_steps,
+             loss_best_last_check, reduced_last_check)
     carry = jax.lax.fori_loop(0, steps, body, carry)
-    (x_adv, _, _, loss_best, x_best, x_best_adv, found, *_rest) = carry
+    x_best = carry[4]
+    x_best_adv = carry[6]
+    found = carry[7]
+    loss_best = carry[3]
     return x_best, x_best_adv, found, loss_best
 
 
@@ -290,8 +302,10 @@ def _proj_box_hyperplane(x, w, b, norm, n_bisect=50):
     """min ||d||_p s.t. w.(x+d) = b, 0 <= x+d <= 1, for p in
     {Linf, L2}. KKT form d = clip(x - t*u, 0, 1) - x with u = sign(w)
     (Linf) or u = w (L2); w.clip(x - t*u) is monotone in t, solved by
-    doubling + bisection. Returns d (same shape as x); if b is not
-    reachable inside the box, the fully saturated d is returned."""
+    doubling + bisection (60 doublings from 1e-3 bracket t up to
+    ~1e15, covering tiny-gradient L2 hyperplanes). Returns d (same
+    shape as x); if b is not reachable inside the box, the fully
+    saturated d is returned."""
     c = jnp.sum(w * x) - b  # current side
     s = jnp.sign(jnp.where(c == 0, 1.0, c))
     u = s * (jnp.sign(w) if norm == "Linf" else w)
@@ -303,7 +317,7 @@ def _proj_box_hyperplane(x, w, b, norm, n_bisect=50):
     def dbl_body(_, t_hi):
         return jnp.where(h(t_hi) * c > 0, t_hi * 2.0, t_hi)
 
-    t_hi = jax.lax.fori_loop(0, 30, dbl_body, jnp.asarray(1e-3))
+    t_hi = jax.lax.fori_loop(0, 60, dbl_body, jnp.asarray(1e-3))
 
     def bis_body(_, lohi):
         lo, hi = lohi
@@ -447,9 +461,11 @@ def _square_margin_loss(logits_fn, variables, x, y, loss,
     return margin, margin  # 'margin'
 
 
-def _square_schedule(n_queries, p_init, n_features, c, rescale=True):
+def _square_schedule(n_queries, p_init, n_features, c, max_side,
+                     rescale=True):
     """Static per-iteration square sizes from the p schedule
-    (square.py:160-186)."""
+    (square.py:160-186), clamped to the shorter image side - 1
+    (square.py:215) so wide/narrow images keep true squares."""
     sizes = np.zeros(n_queries, dtype=np.int32)
     for it in range(n_queries):
         t = int(it / n_queries * 10000) if rescale else it
@@ -460,7 +476,8 @@ def _square_schedule(n_queries, p_init, n_features, c, rescale=True):
             if t > bound:
                 p = p_init / div
                 break
-        sizes[it] = max(int(round(np.sqrt(p * n_features / c))), 1)
+        s_it = max(int(round(np.sqrt(p * n_features / c))), 1)
+        sizes[it] = min(s_it, max_side)
     return sizes
 
 
@@ -481,7 +498,8 @@ def square(logits_fn, variables, images, labels, norm="Linf",
     B, H, W, C = images.shape
     n_features = C * H * W
     sizes = jnp.asarray(_square_schedule(
-        n_queries, p_init, n_features, C, resc_schedule))
+        n_queries, p_init, n_features, C, max(min(H, W) - 1, 1),
+        resc_schedule))
 
     def rand_sign(key, shape):
         return jnp.sign(

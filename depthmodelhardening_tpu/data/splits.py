@@ -62,9 +62,18 @@ def import_splits(src_dir: str, dest_dir: str,
     containing eigen/, eigen_zhou/, ... subdirs). Returns the files
     copied."""
     copied = []
-    for split in (splits or SPLIT_FILES):
+    requested = list(splits) if splits else list(SPLIT_FILES)
+    unknown = [sp for sp in requested if sp not in SPLIT_FILES]
+    if unknown:
+        raise ValueError(
+            f"unknown splits {unknown}; known: {list(SPLIT_FILES)}")
+    for split in requested:
         src_sub = os.path.join(src_dir, split)
         if not os.path.isdir(src_sub):
+            if splits:  # explicitly requested -> error, not skip
+                raise FileNotFoundError(
+                    f"requested split {split!r} not found under "
+                    f"{src_dir}")
             continue
         os.makedirs(os.path.join(dest_dir, split), exist_ok=True)
         for fname in os.listdir(src_sub):
@@ -91,7 +100,12 @@ def fetch_splits(dest_dir: str,
     from urllib.request import urlopen
 
     fetched = []
-    for split in (splits or SPLIT_FILES):
+    requested = list(splits) if splits else list(SPLIT_FILES)
+    unknown = [sp for sp in requested if sp not in SPLIT_FILES]
+    if unknown:
+        raise ValueError(
+            f"unknown splits {unknown}; known: {list(SPLIT_FILES)}")
+    for split in requested:
         os.makedirs(os.path.join(dest_dir, split), exist_ok=True)
         for fname in SPLIT_FILES[split]:
             url = f"{base_url}/{split}/{fname}"

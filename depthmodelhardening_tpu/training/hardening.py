@@ -89,11 +89,15 @@ class HardeningTrainer:
         if cfg.model_family == "manydepth":
             from ..models.wrappers import ManyDepthTrainModel
 
+            if cfg.s2d_stem:
+                raise ValueError(
+                    "s2d_stem applies to the plain ResNet stem; the "
+                    "manydepth matching encoder has its own stem")
             self.model = ManyDepthTrainModel(
                 num_layers=cfg.num_layers, scales=ss.scales,
                 input_height=ss.height, input_width=ss.width,
                 num_depth_bins=cfg.manydepth_num_depth_bins,
-                dtype=dtype)
+                dtype=dtype, fuse_upconv=cfg.fuse_upconv)
         else:
             self.model = MonodepthModel(num_layers=cfg.num_layers,
                                         scales=ss.scales, dtype=dtype,

@@ -149,8 +149,13 @@ def test_attack_crop_w_cost_and_effectiveness(tiny, scene):
 
     obj, mask = make_car_object(width=OBJ_W, height=OBJ_H, seed=3)
     cfg = PhysObjAttackConfig(obj_h=OBJ_H, obj_w=OBJ_W, scene_h=96,
-                              scene_w=320, ori_h=375, ori_w=1242)
+                              scene_w=320, ori_h=375, ori_w=1242,
+                              tile_h=128, tile_w=128)
     cfg_crop = dataclasses.replace(cfg, attack_crop_w=160)
+
+    # crop narrower than the tile is rejected up front
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, attack_crop_w=96)
 
     full = PGDObjectAttack(tiny.predict, obj, mask, cfg,
                            eps=0.1, alpha=0.05, steps=2)
