@@ -23,10 +23,13 @@ TPU-first notes:
   * Square picks its per-iteration square via iota masks instead of
     dynamic-size slices, keeping all shapes static.
 
-The classifier Square implements the Linf norm (the variant AutoAttack
-standard uses); the L2 variant's mass-reallocation update
-(square.py:325-439) is intentionally not provided — the depth pipeline's
-Square attack is `square_object.py`.
+Square implements both norms: Linf (vertical-stripe init + one
+eps-signed square per query) and L2 (eta-patterned init on a 5x5 grid,
+then per-query mass reallocation between two random windows,
+square.py:325-439) — the dynamic square side is handled by a static
+per-iteration size schedule with iota-masked windows and pre-built
+padded eta patterns. The depth pipeline's Square attack is
+`square_object.py`.
 """
 
 from __future__ import annotations
@@ -484,17 +487,19 @@ def _square_schedule(n_queries, p_init, n_features, c, max_side,
 def square(logits_fn, variables, images, labels, norm="Linf",
            eps=8 / 255, n_queries=5000, p_init=0.8, loss="margin",
            resc_schedule=True, seed=0, rng=None, targeted=False):
-    """torchattacks/attacks/square.py (Linf): black-box random-search
-    attack — vertical-stripe init, then one random eps-signed square
-    per query, accepted when the margin loss improves. The whole query
-    loop is one lax.fori_loop with iota-mask squares (static shapes)."""
-    if norm != "Linf":
-        raise ValueError(
-            "classifier Square implements Linf; the depth pipeline's "
-            "Square is attacks.square_object.SquareObjectAttack")
+    """torchattacks/attacks/square.py: black-box random-search attack.
+    Linf: vertical-stripe init + one random eps-signed square per
+    query; L2: eta-patterned init + mass reallocation (_square_l2).
+    The query loop is one lax.fori_loop with iota-mask squares."""
+    if norm not in ("Linf", "L2"):
+        raise ValueError(norm)
     if loss not in ("margin", "ce"):
         raise ValueError(loss)
     rng = jax.random.PRNGKey(seed) if rng is None else rng
+    if norm == "L2":
+        return _square_l2(logits_fn, variables, images, labels, eps,
+                          n_queries, p_init, loss, resc_schedule, rng,
+                          targeted)
     B, H, W, C = images.shape
     n_features = C * H * W
     sizes = jnp.asarray(_square_schedule(
@@ -544,6 +549,157 @@ def square(logits_fn, variables, images, labels, norm="Linf",
     return x_best
 
 
+def _eta_rectangles(x, y):
+    """Concentric-increment rectangle pattern (square.py:130-146)."""
+    delta = np.zeros((x, y), np.float32)
+    x_c, y_c = x // 2 + 1, y // 2 + 1
+    cx, cy = x_c - 1, y_c - 1
+    for counter in range(max(x_c, y_c)):
+        delta[max(cx, 0):min(cx + 2 * counter + 1, x),
+              max(cy, 0):min(cy + 2 * counter + 1, y)] += \
+            1.0 / (counter + 1) ** 2
+        cx -= 1
+        cy -= 1
+    return delta / np.sqrt((delta ** 2).sum())
+
+
+def _eta(s):
+    """+/- rectangle pattern of side s (square.py:148-158), without the
+    random transpose (applied at use time)."""
+    delta = np.zeros((s, s), np.float32)
+    delta[:s // 2] = _eta_rectangles(s // 2, s)
+    delta[s // 2:] = -_eta_rectangles(s - s // 2, s)
+    return delta / np.sqrt((delta ** 2).sum())
+
+
+def _square_l2_sizes(n_queries, p_init, n_features, c, max_side,
+                     rescale=True):
+    """L2 side schedule: >=3 and odd (square.py:300-302), clamped."""
+    base = _square_schedule(n_queries, p_init, n_features, c,
+                            max_side, rescale)
+    sizes = np.maximum(base, 3)
+    sizes = np.where(sizes % 2 == 0, sizes + 1, sizes)
+    sizes = np.minimum(sizes, max_side if max_side % 2 else
+                       max_side - 1)
+    return sizes.astype(np.int32)
+
+
+def _square_l2(logits_fn, variables, images, labels, eps, n_queries,
+               p_init, loss, resc_schedule, rng, targeted):
+    """Square Attack L2 (square.py:325-439): eta-patterned init over a
+    5x5 grid, then per query the perturbation mass of one random
+    window is zeroed and reallocated into another with a fresh eta
+    pattern, keeping ||delta||_2 = eps."""
+    B, H, W, C = images.shape
+    n_features = C * H * W
+    bshape = (B, 1, 1, 1)
+    sizes = _square_l2_sizes(n_queries, p_init, n_features, C,
+                             max(min(H, W) - 1, 3), resc_schedule)
+    uniq = sorted(set(int(v) for v in sizes))
+    smax = uniq[-1]
+    # padded eta patterns per distinct size, indexed per iteration
+    etas = np.zeros((len(uniq), smax, smax), np.float32)
+    for k, sv in enumerate(uniq):
+        etas[k, :sv, :sv] = _eta(sv)
+    eta_idx = np.array([uniq.index(int(v)) for v in sizes], np.int32)
+    etas = jnp.asarray(etas)
+    eta_idx = jnp.asarray(eta_idx)
+    sizes = jnp.asarray(sizes)
+
+    rows = jnp.arange(H)[:, None, None]
+    cols = jnp.arange(W)[None, :, None]
+
+    def l2norm(d):
+        return jnp.sqrt(jnp.sum(d.reshape(B, -1) ** 2, 1)).reshape(
+            bshape)
+
+    def rand_sign(key, shape):
+        return jnp.sign(
+            2.0 * jax.random.uniform(key, shape) - 1.0 + 1e-12)
+
+    # init: eta(s0) tiles on a 5x5 grid with random signs
+    # (square.py:325-343)
+    s0 = H // 5
+    sp = (H - s0 * 5) // 2
+    eta0 = jnp.asarray(_eta(max(s0, 1)))
+    delta = jnp.zeros_like(images)
+    k_init, rng = jax.random.split(rng)
+    for gi in range(H // max(s0, 1)):
+        for gj in range(W // max(s0, 1)):
+            vh, vw = sp + gi * s0, sp + gj * s0
+            if vh + s0 > H or vw + s0 > W:
+                continue
+            key = jax.random.fold_in(k_init, gi * 1000 + gj)
+            patch = eta0[None, :, :, None] * rand_sign(key,
+                                                       (B, 1, 1, C))
+            delta = jax.lax.dynamic_update_slice(
+                delta, delta[:, vh:vh + s0, vw:vw + s0] + patch,
+                (0, vh, vw, 0))
+    x_best = jnp.clip(
+        images + delta / (l2norm(delta) + 1e-12) * eps, 0.0, 1.0)
+    margin_min, loss_min = _square_margin_loss(
+        logits_fn, variables, x_best, labels, loss, targeted)
+
+    def window(vh, vw, sv):
+        return ((rows >= vh) & (rows < vh + sv)
+                & (cols >= vw) & (cols < vw + sv))  # (H, W, 1)
+
+    def body(i, carry):
+        x_best, margin_min, loss_min = carry
+        key = jax.random.fold_in(rng, i)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        sv = sizes[i]
+        delta_curr = x_best - images
+        vh = jax.random.randint(k1, (), 0, H - sv + 1)
+        vw = jax.random.randint(k2, (), 0, W - sv + 1)
+        vh2 = jax.random.randint(k3, (), 0, H - sv + 1)
+        vw2 = jax.random.randint(k4, (), 0, W - sv + 1)
+        m1 = window(vh, vw, sv)[None]
+        m2 = window(vh2, vw2, sv)[None]
+
+        norms_w1 = jnp.sqrt(jnp.sum(
+            (delta_curr * m1) ** 2, axis=(1, 2), keepdims=True))
+        norms_image = l2norm(delta_curr)
+        mask_image = jnp.maximum(m1, m2)
+        norms_windows = l2norm(delta_curr * mask_image)
+
+        # fresh eta pattern placed at window 1, random transpose +
+        # per-channel signs (square.py:320-323)
+        pat = etas[eta_idx[i]]
+        pat = jnp.where(jax.random.uniform(k5, ()) > 0.5, pat, pat.T)
+        pat_full = jax.lax.dynamic_update_slice(
+            jnp.zeros((H + smax, W + smax), pat.dtype), pat,
+            (vh, vw))[:H, :W]
+        signs = rand_sign(jax.random.fold_in(k5, 1), (B, 1, 1, C))
+        new_deltas = pat_full[None, :, :, None] * signs
+        new_deltas = new_deltas + delta_curr * m1 / (norms_w1 + 1e-12)
+        nd_norm = jnp.sqrt(jnp.sum(
+            (new_deltas * m1) ** 2, axis=(1, 2), keepdims=True))
+        budget = jnp.sqrt(
+            jnp.maximum(eps ** 2 - norms_image ** 2, 0.0) / C
+            + norms_windows ** 2)
+        new_deltas = new_deltas / (nd_norm + 1e-12) * budget
+
+        delta_new = jnp.where(m2, 0.0, delta_curr)
+        delta_new = jnp.where(m1, new_deltas, delta_new)
+
+        x_new = jnp.clip(
+            images + delta_new / (l2norm(delta_new) + 1e-12) * eps,
+            0.0, 1.0)
+        margin, l = _square_margin_loss(
+            logits_fn, variables, x_new, labels, loss, targeted)
+        improved = (l < loss_min) | (margin <= 0.0)
+        upd = improved & (margin_min > 0.0)
+        x_best = jnp.where(upd.reshape(bshape), x_new, x_best)
+        loss_min = jnp.where(upd, l, loss_min)
+        margin_min = jnp.where(upd, margin, margin_min)
+        return x_best, margin_min, loss_min
+
+    x_best, _, _ = jax.lax.fori_loop(
+        0, n_queries, body, (x_best, margin_min, loss_min))
+    return x_best
+
+
 # ---------------------------------------------------------------------------
 # ensembles
 
@@ -584,8 +740,7 @@ def autoattack(logits_fn, variables, images, labels, norm="Linf",
         lambda x, y: fab(logits_fn, variables, x, y, norm=norm,
                          eps=eps, seed=seed, n_restarts=1),
     ]
-    if norm == "Linf":
-        fns.append(lambda x, y: square(
-            logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
-            n_queries=square_queries))
+    fns.append(lambda x, y: square(
+        logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
+        n_queries=square_queries))
     return multiattack(fns, logits_fn, variables, images, labels)

@@ -117,11 +117,23 @@ def test_square_box_and_improvement(model, data):
     assert _acc(logits_fn, v, adv, y) <= _acc(logits_fn, v, x, y)
 
 
-def test_square_l2_not_implemented(model, data):
+def test_square_l2_ball_and_improvement(model, data):
     logits_fn, v = model
     x, y = data
-    with pytest.raises(ValueError):
-        auto.square(logits_fn, v, x, y, norm="L2")
+    adv = auto.square(logits_fn, v, x, y, norm="L2", eps=1.0,
+                      n_queries=60, p_init=0.8)
+    n = jnp.sqrt(jnp.sum((adv - x).reshape(B, -1) ** 2, 1))
+    assert float(jnp.max(n)) <= 1.0 + 1e-4
+    assert adv.min() >= 0 and adv.max() <= 1
+    assert _acc(logits_fn, v, adv, y) <= _acc(logits_fn, v, x, y)
+
+
+def test_square_eta_pattern_properties():
+    pat = auto._eta(9)
+    assert pat.shape == (9, 9)
+    # unit L2 norm, +/- halves
+    assert abs(float((pat ** 2).sum()) - 1.0) < 1e-5
+    assert (pat[:4] >= 0).all() and (pat[4:] <= 0).all()
 
 
 def test_multiattack_keeps_first_success(model, data):
