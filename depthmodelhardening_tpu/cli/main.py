@@ -195,6 +195,9 @@ def cmd_train_distill(args):
                                   size=(cfg.ori_w, cfg.ori_h),
                                   train_list=args.train_list,
                                   val_list=args.val_list)
+    from ..utils.logging import MetricsLogger
+
+    logger = MetricsLogger(args.log_dir)
     step = 0
     for epoch in range(cfg.epochs):
         for scenes, _ in train_set.batches(cfg.batch_size, seed=epoch):
@@ -202,8 +205,10 @@ def cmd_train_distill(args):
                 state, jnp.asarray(scenes),
                 jax.random.PRNGKey(args.seed * 1000 + step))
             if step % 30 == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                logger.log(step, scalars)
                 print(f"epoch {epoch} step {step} "
-                      f"loss {float(metrics['loss']):.5f}")
+                      f"loss {scalars['loss']:.5f}")
             step += 1
         if epoch % 2 == 0:
             export_reference_pth(
@@ -286,6 +291,9 @@ def cmd_train_hardening(args):
                                   val_list=args.val_list)
     scene_iter = iter(scene_set.batches(cfg.adv.attack_batch_size))
 
+    from ..utils.logging import MetricsLogger
+
+    logger = MetricsLogger(args.log_dir)
     for epoch in range(args.epochs):
         for batch in loader:
             if adv_train:
@@ -307,8 +315,10 @@ def cmd_train_hardening(args):
                     jnp.asarray(batch["do_flip"]),
                     jax.random.PRNGKey(args.seed * 100003 + step))
             if step % args.log_frequency == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                logger.log(step, scalars)
                 print(f"epoch {epoch} step {step} " + " ".join(
-                    f"{k}={float(v):.5f}" for k, v in metrics.items()))
+                    f"{k}={v:.5f}" for k, v in scalars.items()))
             step += 1
         save_state(os.path.join(args.log_dir, "ckpts"), step, state)
 

@@ -59,6 +59,34 @@ class MetricsLogger:
         print(msg, flush=True)
         return msg
 
+    def log_image(self, step: int, tag: str, image) -> str:
+        """Eval-image logging (simple_adv_training.py:88-93 writer
+        add_image): PNG under <log_dir>/images (always) + TensorBoard
+        add_image when available. image: (H,W,3) or (H,W) float [0,1]
+        or uint8."""
+        import numpy as np
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        safe = tag.replace("/", "_")
+        path = os.path.join(img_dir, f"{safe}_{int(step):08d}.png")
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
+        except Exception:
+            path = path.replace(".png", ".npy")
+            np.save(path, arr)
+        if self._tb is not None:
+            self._tb.add_image(tag, arr, int(step),
+                               dataformats="HWC")
+        return path
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

@@ -98,3 +98,15 @@ def test_misc_utils():
     assert n.min() == 0 and n.max() == 1
     cm = colormap_disp(np.random.rand(8, 8))
     assert cm.shape == (8, 8, 3) and cm.dtype == np.uint8
+
+
+def test_metrics_logger_log_image(tmp_path):
+    import numpy as np
+    from depthmodelhardening_tpu.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path))
+    path = lg.log_image(3, "eval/disp", np.random.rand(8, 10))
+    assert path.endswith("eval_disp_00000003.png")
+    import os
+    assert os.path.isfile(path)
+    lg.close()
