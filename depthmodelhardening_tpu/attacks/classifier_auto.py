@@ -108,19 +108,34 @@ def _project(norm, x, x_orig, eps):
 
 
 def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
-                     norm, eps, steps, rho, rng):
+                     norm, eps, steps, rho, rng, eot_iter=1):
     """One APGD restart, batched. Returns (x_best, x_best_adv,
-    found_adv, loss_best)."""
+    found_adv, loss_best). eot_iter > 1 averages the gradient over
+    repeated evaluations (apgd.py:155-170) — pass a logits_fn taking a
+    `rng` keyword to make the passes differ on stochastic models."""
+    import inspect
+
     B = images.shape[0]
     bshape = (B, 1, 1, 1)
     ck_mask, ck_win = _apgd_checkpoints(steps)
+    stochastic = "rng" in inspect.signature(logits_fn).parameters
 
     def loss_and_grad(x):
-        def total(a):
-            return jnp.sum(loss_fn(logits_fn(variables, a)))
+        def total(a, key=None):
+            lg = (logits_fn(variables, a, rng=key) if stochastic
+                  else logits_fn(variables, a))
+            return jnp.sum(loss_fn(lg))
 
-        l, g = jax.value_and_grad(total)(x)
-        return loss_fn(logits_fn(variables, x)), g
+        if eot_iter == 1 and not stochastic:
+            g = jax.grad(total)(x)
+        else:
+            gs = [jax.grad(total)(x, jax.random.fold_in(rng, 7000 + j)
+                                  if stochastic else None)
+                  for j in range(eot_iter)]
+            g = sum(gs) / eot_iter
+        lg = (logits_fn(variables, x, rng=jax.random.fold_in(rng, 1))
+              if stochastic else logits_fn(variables, x))
+        return loss_fn(lg), g
 
     # random start (apgd.py:181-190)
     if norm == "Linf":
@@ -133,8 +148,13 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
         x_adv = images + eps * t / (tn + 1e-12)
     x_adv = jnp.clip(x_adv, 0.0, 1.0)
 
+    def predict(x):
+        lg = (logits_fn(variables, x, rng=jax.random.fold_in(rng, 2))
+              if stochastic else logits_fn(variables, x))
+        return jnp.argmax(lg, axis=1)
+
     loss_indiv, grad = loss_and_grad(x_adv)
-    preds = jnp.argmax(logits_fn(variables, x_adv), axis=1)
+    preds = predict(x_adv)
     found = preds != labels
     x_best = x_adv
     grad_best = grad
@@ -173,7 +193,7 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
         x_adv_old = x_adv
         x_adv = x_new
         loss_indiv, grad = loss_and_grad(x_adv)
-        preds = jnp.argmax(logits_fn(variables, x_adv), axis=1)
+        preds = predict(x_adv)
         is_adv = preds != labels
         # the reference overwrites with the LATEST adversarial iterate
         # every step (apgd.py:200-205)
@@ -239,7 +259,7 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
 
 def apgd(logits_fn, variables, images, labels, norm="Linf",
          eps=8 / 255, steps=100, n_restarts=1, seed=0, loss="ce",
-         rho=0.75, rng=None):
+         rho=0.75, eot_iter=1, rng=None):
     """torchattacks/attacks/apgd.py: Auto-PGD (Croce & Hein 2020) with
     the ce or dlr loss. Returns original images for samples no restart
     fooled (apgd.py:55-80 semantics)."""
@@ -260,7 +280,7 @@ def apgd(logits_fn, variables, images, labels, norm="Linf",
         key = jax.random.fold_in(rng, r)
         _, x_best_adv, found, _ = _apgd_single_run(
             logits_fn, variables, images, labels, loss_fn, norm, eps,
-            steps, rho, key)
+            steps, rho, key, eot_iter=eot_iter)
         take = found & ~fooled
         adv = jnp.where(take.reshape(B, 1, 1, 1), x_best_adv, adv)
         fooled = fooled | found
@@ -344,18 +364,45 @@ def _lp_norm(d, norm):
 
 def fab(logits_fn, variables, images, labels, norm="Linf", eps=None,
         steps=100, n_restarts=1, alpha_max=0.1, eta=1.05, beta=0.9,
-        seed=0, rng=None):
+        seed=0, targeted=False, n_classes=10, rng=None,
+        _target_labels=None):
     """torchattacks/attacks/fab.py: Fast Adaptive Boundary attack
     (Croce & Hein 2020) — minimal-norm attack via iterated projection
     onto the linearized decision boundary, with biased backward steps.
-    Default eps per norm matches fab.py:57 ({Linf: .3, L2: 1.})."""
+    Default eps per norm matches fab.py:57 ({Linf: .3, L2: 1.}).
+    targeted=True runs the targeted variant per target class (2nd..
+    n_classes-th most probable, fab.py:97-107), always projecting onto
+    that class's boundary and keeping the smallest perturbation."""
     if norm not in ("Linf", "L2"):
         raise ValueError(norm)
     if eps is None:
         eps = {"Linf": 0.3, "L2": 1.0}[norm]
     rng = jax.random.PRNGKey(seed) if rng is None else rng
 
-    def one(img, label, key):
+    if targeted:
+        logits_clean = logits_fn(variables, images)
+        order = jnp.argsort(logits_clean, axis=1)
+        n_targets = min(n_classes - 1, logits_clean.shape[-1] - 1)
+        B = images.shape[0]
+        best = images
+        best_norm = jnp.full((B,), jnp.inf)
+        for tc in range(2, n_targets + 2):
+            adv = fab(logits_fn, variables, images, labels, norm=norm,
+                      eps=eps, steps=steps, n_restarts=n_restarts,
+                      alpha_max=alpha_max, eta=eta, beta=beta,
+                      rng=jax.random.fold_in(rng, tc),
+                      _target_labels=order[:, -tc])
+            flipped = jnp.argmax(
+                logits_fn(variables, adv), axis=1) != labels
+            d = (adv - images).reshape(B, -1)
+            nrm = (jnp.max(jnp.abs(d), 1) if norm == "Linf" else
+                   jnp.sqrt(jnp.sum(d ** 2, 1)))
+            better = flipped & (nrm < best_norm)
+            best = jnp.where(better.reshape(B, 1, 1, 1), adv, best)
+            best_norm = jnp.where(better, nrm, best_norm)
+        return best
+
+    def one(img, label, key, target=None):
         def jac_and_logits(x):
             logits = logits_fn(variables, x[None])[0]
             jac = jax.jacobian(
@@ -366,6 +413,12 @@ def fab(logits_fn, variables, images, labels, norm="Linf", eps=None,
             logits, jac = jac_and_logits(x)
             fk = logits - logits[label]
             wk = jac - jac[label]
+            if target is not None:
+                # targeted: always project onto the target class's
+                # boundary (fab.py attack_single_run_targeted)
+                w = wk[target]
+                b = jnp.sum(w * x) - fk[target]
+                return w, b
             nc = logits.shape[0]
             qnorm = (jnp.sum(jnp.abs(wk.reshape(nc, -1)), 1)
                      if norm == "Linf" else
@@ -441,6 +494,10 @@ def fab(logits_fn, variables, images, labels, norm="Linf", eps=None,
         return jnp.where(ok, best, img)
 
     keys = jax.random.split(rng, images.shape[0])
+    if _target_labels is not None:
+        return jax.vmap(
+            lambda im, lb, k, t: one(im, lb, k, target=t)
+        )(images, labels, keys, _target_labels)
     return jax.vmap(one)(images, labels, keys)
 
 
@@ -725,22 +782,44 @@ def multiattack(attacks: Sequence[Callable], logits_fn, variables,
 
 
 def autoattack(logits_fn, variables, images, labels, norm="Linf",
-               eps=8 / 255, n_classes=10, seed=0,
+               eps=8 / 255, n_classes=10, seed=0, version="standard",
                square_queries=5000):
-    """torchattacks/attacks/autoattack.py (version='standard'):
-    MultiAttack of APGD-CE, APGD-T, FAB, Square (autoattack.py:48-54)."""
+    """torchattacks/attacks/autoattack.py: MultiAttack ensembles.
+    standard: APGD-CE, APGD-T, FAB, Square (autoattack.py:48-54);
+    plus: 5-restart APGD-CE/APGD-DLR/FAB + Square + APGD-T + targeted
+    FAB (autoattack.py:56-64); rand: APGD-CE/APGD-DLR with eot_iter=20
+    for randomized defenses (autoattack.py:66-70)."""
     if norm not in ("Linf", "L2"):
         raise ValueError(norm)
-    fns = [
-        lambda x, y: apgd(logits_fn, variables, x, y, norm=norm,
-                          eps=eps, seed=seed, loss="ce", n_restarts=1),
-        lambda x, y: apgdt(logits_fn, variables, x, y, norm=norm,
-                           eps=eps, seed=seed, n_classes=n_classes,
-                           n_restarts=1),
-        lambda x, y: fab(logits_fn, variables, x, y, norm=norm,
-                         eps=eps, seed=seed, n_restarts=1),
-    ]
-    fns.append(lambda x, y: square(
-        logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
-        n_queries=square_queries))
+
+    def _apgd(loss, nr=1, eot=1):
+        return lambda x, y: apgd(
+            logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
+            loss=loss, n_restarts=nr, eot_iter=eot)
+
+    def _apgdt():
+        return lambda x, y: apgdt(
+            logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
+            n_classes=n_classes, n_restarts=1)
+
+    def _fab(nr=1, targeted=False):
+        return lambda x, y: fab(
+            logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
+            n_restarts=nr, targeted=targeted, n_classes=n_classes)
+
+    def _square():
+        return lambda x, y: square(
+            logits_fn, variables, x, y, norm=norm, eps=eps, seed=seed,
+            n_queries=square_queries)
+
+    if version == "standard":
+        fns = [_apgd("ce"), _apgdt(), _fab(), _square()]
+    elif version == "plus":
+        fns = [_apgd("ce", nr=5), _apgd("dlr", nr=5), _fab(nr=5),
+               _square(), _apgdt(), _fab(targeted=True)]
+    elif version == "rand":
+        fns = [_apgd("ce", eot=20), _apgd("dlr", eot=20)]
+    else:
+        raise ValueError(
+            "Not valid version. ['standard', 'plus', 'rand']")
     return multiattack(fns, logits_fn, variables, images, labels)

@@ -215,3 +215,35 @@ def test_onepixel_changes_at_most_k_pixels(model, data):
     idx = jnp.arange(B)
     assert float(jnp.mean(p_adv[idx, y])) <= \
         float(jnp.mean(p_clean[idx, y])) + 1e-6
+
+
+def test_fab_targeted(model, data):
+    logits_fn, v = model
+    x, y = data
+    adv = auto.fab(logits_fn, v, x, y, norm="Linf", eps=0.3, steps=15,
+                   targeted=True, n_classes=NC)
+    flipped = jnp.argmax(logits_fn(v, adv), 1) != y
+    assert bool(jnp.any(flipped))
+    assert float(jnp.max(jnp.abs(adv - x))) <= 0.3 + 1e-5
+
+
+def test_apgd_eot_iter_matches_deterministic(model, data):
+    logits_fn, v = model
+    x, y = data
+    a1 = auto.apgd(logits_fn, v, x, y, eps=0.1, steps=8, eot_iter=1)
+    a3 = auto.apgd(logits_fn, v, x, y, eps=0.1, steps=8, eot_iter=3)
+    # deterministic model: averaged gradient == single gradient
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(a1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_autoattack_versions(model, data):
+    logits_fn, v = model
+    x, y = data
+    for version in ("rand",):
+        adv = auto.autoattack(logits_fn, v, x, y, eps=0.15,
+                              n_classes=NC, version=version)
+        assert float(jnp.max(jnp.abs(adv - x))) <= 0.15 + 1e-5
+        assert _acc(logits_fn, v, adv, y) < 1.0
+    with pytest.raises(ValueError):
+        auto.autoattack(logits_fn, v, x, y, version="bogus")
