@@ -67,6 +67,15 @@ def _dlr_loss_targeted(logits, labels, targets):
         z_sorted[:, 0] - (z_sorted[:, 2] + z_sorted[:, 3]) / 2 + 1e-12)
 
 
+def _target_classes(logits_clean, n_classes):
+    """Per-sample target classes: the 2nd..n_classes-th most probable
+    (apgdt.py:52-53, fab.py:97-107). Returns (order, n_targets) where
+    order[:, -tc] is the tc-th most likely class."""
+    order = jnp.argsort(logits_clean, axis=1)
+    n_targets = min(n_classes - 1, logits_clean.shape[-1] - 1)
+    return order, n_targets
+
+
 # ---------------------------------------------------------------------------
 # APGD core (shared by apgd / apgdt)
 
@@ -118,23 +127,31 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
     B = images.shape[0]
     bshape = (B, 1, 1, 1)
     ck_mask, ck_win = _apgd_checkpoints(steps)
-    stochastic = "rng" in inspect.signature(logits_fn).parameters
+    try:
+        stochastic = "rng" in inspect.signature(logits_fn).parameters
+    except (TypeError, ValueError):
+        stochastic = False
 
-    def loss_and_grad(x):
+    def loss_and_grad(x, i):
+        """i: loop step (fresh EOT noise every step, apgd.py:155-170)."""
         def total(a, key=None):
             lg = (logits_fn(variables, a, rng=key) if stochastic
                   else logits_fn(variables, a))
             return jnp.sum(loss_fn(lg))
 
-        if eot_iter == 1 and not stochastic:
+        if not stochastic:
+            # deterministic model: eot_iter identical grads collapse
             g = jax.grad(total)(x)
-        else:
-            gs = [jax.grad(total)(x, jax.random.fold_in(rng, 7000 + j)
-                                  if stochastic else None)
-                  for j in range(eot_iter)]
-            g = sum(gs) / eot_iter
-        lg = (logits_fn(variables, x, rng=jax.random.fold_in(rng, 1))
-              if stochastic else logits_fn(variables, x))
+            return loss_fn(logits_fn(variables, x)), g
+        step_key = jax.random.fold_in(rng, 7 + i)
+        # scan (not unroll): eot_iter=20 x steps=100 would bloat the
+        # traced program otherwise
+        g, _ = jax.lax.scan(
+            lambda acc, k: (acc + jax.grad(total)(x, k), None),
+            jnp.zeros_like(x), jax.random.split(step_key, eot_iter))
+        g = g / eot_iter
+        lg = logits_fn(variables, x,
+                       rng=jax.random.fold_in(step_key, eot_iter))
         return loss_fn(lg), g
 
     # random start (apgd.py:181-190)
@@ -148,13 +165,14 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
         x_adv = images + eps * t / (tn + 1e-12)
     x_adv = jnp.clip(x_adv, 0.0, 1.0)
 
-    def predict(x):
-        lg = (logits_fn(variables, x, rng=jax.random.fold_in(rng, 2))
+    def predict(x, i):
+        lg = (logits_fn(variables, x,
+                        rng=jax.random.fold_in(rng, 100000 + i))
               if stochastic else logits_fn(variables, x))
         return jnp.argmax(lg, axis=1)
 
-    loss_indiv, grad = loss_and_grad(x_adv)
-    preds = predict(x_adv)
+    loss_indiv, grad = loss_and_grad(x_adv, -1)
+    preds = predict(x_adv, -1)
     found = preds != labels
     x_best = x_adv
     grad_best = grad
@@ -192,8 +210,8 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
 
         x_adv_old = x_adv
         x_adv = x_new
-        loss_indiv, grad = loss_and_grad(x_adv)
-        preds = predict(x_adv)
+        loss_indiv, grad = loss_and_grad(x_adv, i)
+        preds = predict(x_adv, i)
         is_adv = preds != labels
         # the reference overwrites with the LATEST adversarial iterate
         # every step (apgd.py:200-205)
@@ -298,10 +316,9 @@ def apgdt(logits_fn, variables, images, labels, norm="Linf",
     rng = jax.random.PRNGKey(seed) if rng is None else rng
     B = images.shape[0]
     logits_clean = logits_fn(variables, images)
-    order = jnp.argsort(logits_clean, axis=1)  # ascending
+    order, n_targets = _target_classes(logits_clean, n_classes)
     adv = images
     fooled = jnp.zeros((B,), bool)
-    n_targets = min(n_classes - 1, logits_clean.shape[-1] - 1)
     for tc in range(2, n_targets + 2):
         targets = order[:, -tc]
         loss_fn = lambda lg, t=targets: _dlr_loss_targeted(
@@ -381,8 +398,7 @@ def fab(logits_fn, variables, images, labels, norm="Linf", eps=None,
 
     if targeted:
         logits_clean = logits_fn(variables, images)
-        order = jnp.argsort(logits_clean, axis=1)
-        n_targets = min(n_classes - 1, logits_clean.shape[-1] - 1)
+        order, n_targets = _target_classes(logits_clean, n_classes)
         B = images.shape[0]
         best = images
         best_norm = jnp.full((B,), jnp.inf)
@@ -687,7 +703,10 @@ def _square_l2(logits_fn, variables, images, labels, eps, n_queries,
             if vh + s0 > H or vw + s0 > W:
                 continue
             key = jax.random.fold_in(k_init, gi * 1000 + gj)
-            patch = eta0[None, :, :, None] * rand_sign(key,
+            kt, ks_ = jax.random.split(key)
+            pat0 = jnp.where(jax.random.uniform(kt, ()) > 0.5, eta0,
+                             eta0.T)
+            patch = pat0[None, :, :, None] * rand_sign(ks_,
                                                        (B, 1, 1, C))
             delta = jax.lax.dynamic_update_slice(
                 delta, delta[:, vh:vh + s0, vw:vw + s0] + patch,
@@ -762,17 +781,26 @@ def _square_l2(logits_fn, variables, images, labels, eps, n_queries,
 
 
 def multiattack(attacks: Sequence[Callable], logits_fn, variables,
-                images, labels):
+                images, labels, rng=None):
     """torchattacks/attacks/multiattack.py: run attacks sequentially,
     keeping the first successful adversarial per sample. Each entry is
-    a closure `fn(images, labels) -> adv`."""
+    a closure `fn(images, labels) -> adv`. Stochastic models (logits_fn
+    with an `rng` keyword) are scored with a fresh key per attack."""
+    import inspect
+
+    try:
+        stochastic = "rng" in inspect.signature(logits_fn).parameters
+    except (TypeError, ValueError):
+        stochastic = False
+    rng = jax.random.PRNGKey(0) if rng is None else rng
     B = images.shape[0]
     adv = images
     fooled = jnp.zeros((B,), bool)
-    for fn in attacks:
+    for k, fn in enumerate(attacks):
         cand = fn(images, labels)
-        is_adv = jnp.argmax(
-            logits_fn(variables, cand), axis=1) != labels
+        lg = (logits_fn(variables, cand, rng=jax.random.fold_in(rng, k))
+              if stochastic else logits_fn(variables, cand))
+        is_adv = jnp.argmax(lg, axis=1) != labels
         take = is_adv & ~fooled
         adv = jnp.where(take.reshape(B, 1, 1, 1), cand, adv)
         fooled = fooled | is_adv

@@ -199,27 +199,31 @@ def cmd_train_distill(args):
 
     logger = MetricsLogger(args.log_dir)
     step = 0
-    for epoch in range(cfg.epochs):
-        for scenes, _ in train_set.batches(cfg.batch_size, seed=epoch):
-            state, metrics = trainer.train_step(
-                state, jnp.asarray(scenes),
-                jax.random.PRNGKey(args.seed * 1000 + step))
-            if step % 30 == 0:
-                scalars = {k: float(v) for k, v in metrics.items()}
-                logger.log(step, scalars)
-                print(f"epoch {epoch} step {step} "
-                      f"loss {scalars['loss']:.5f}")
-            step += 1
-        if epoch % 2 == 0:
-            export_reference_pth(
-                args.log_dir, epoch + 1,
-                {"params": state.params,
-                 "batch_stats": state.batch_stats},
-                height=args.height, width=args.width)
-    export_reference_pth(args.log_dir, "final",
-                         {"params": state.params,
-                          "batch_stats": state.batch_stats},
-                         height=args.height, width=args.width)
+    try:
+        for epoch in range(cfg.epochs):
+            for scenes, _ in train_set.batches(cfg.batch_size,
+                                               seed=epoch):
+                state, metrics = trainer.train_step(
+                    state, jnp.asarray(scenes),
+                    jax.random.PRNGKey(args.seed * 1000 + step))
+                if step % 30 == 0:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    logger.log(step, scalars)
+                    print(f"epoch {epoch} step {step} "
+                          f"loss {scalars['loss']:.5f}")
+                step += 1
+            if epoch % 2 == 0:
+                export_reference_pth(
+                    args.log_dir, epoch + 1,
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    height=args.height, width=args.width)
+        export_reference_pth(args.log_dir, "final",
+                             {"params": state.params,
+                              "batch_stats": state.batch_stats},
+                             height=args.height, width=args.width)
+    finally:
+        logger.close()
 
 
 def cmd_train_hardening(args):
@@ -294,33 +298,39 @@ def cmd_train_hardening(args):
     from ..utils.logging import MetricsLogger
 
     logger = MetricsLogger(args.log_dir)
-    for epoch in range(args.epochs):
-        for batch in loader:
-            if adv_train:
-                try:
-                    scenes, _ = next(scene_iter)
-                except StopIteration:
-                    scene_iter = iter(scene_set.batches(
-                        cfg.adv.attack_batch_size, seed=epoch))
-                    scenes, _ = next(scene_iter)
-                state, metrics = trainer.train_step(
-                    state, batch["frames"],
-                    jnp.asarray(batch["side_is_l"]),
-                    jnp.asarray(batch["do_flip"]), jnp.asarray(scenes),
-                    jax.random.PRNGKey(args.seed * 100003 + step))
-            else:
-                state, metrics = trainer.selfsup_frames_step(
-                    state, batch["frames"],
-                    jnp.asarray(batch["side_is_l"]),
-                    jnp.asarray(batch["do_flip"]),
-                    jax.random.PRNGKey(args.seed * 100003 + step))
-            if step % args.log_frequency == 0:
-                scalars = {k: float(v) for k, v in metrics.items()}
-                logger.log(step, scalars)
-                print(f"epoch {epoch} step {step} " + " ".join(
-                    f"{k}={v:.5f}" for k, v in scalars.items()))
-            step += 1
-        save_state(os.path.join(args.log_dir, "ckpts"), step, state)
+    try:
+        for epoch in range(args.epochs):
+            for batch in loader:
+                if adv_train:
+                    try:
+                        scenes, _ = next(scene_iter)
+                    except StopIteration:
+                        scene_iter = iter(scene_set.batches(
+                            cfg.adv.attack_batch_size, seed=epoch))
+                        scenes, _ = next(scene_iter)
+                    state, metrics = trainer.train_step(
+                        state, batch["frames"],
+                        jnp.asarray(batch["side_is_l"]),
+                        jnp.asarray(batch["do_flip"]),
+                        jnp.asarray(scenes),
+                        jax.random.PRNGKey(args.seed * 100003 + step))
+                else:
+                    state, metrics = trainer.selfsup_frames_step(
+                        state, batch["frames"],
+                        jnp.asarray(batch["side_is_l"]),
+                        jnp.asarray(batch["do_flip"]),
+                        jax.random.PRNGKey(args.seed * 100003 + step))
+                if step % args.log_frequency == 0:
+                    scalars = {k: float(v)
+                               for k, v in metrics.items()}
+                    logger.log(step, scalars)
+                    print(f"epoch {epoch} step {step} " + " ".join(
+                        f"{k}={v:.5f}" for k, v in scalars.items()))
+                step += 1
+            save_state(os.path.join(args.log_dir, "ckpts"), step,
+                       state)
+    finally:
+        logger.close()
 
 
 def cmd_precompute_hints(args):

@@ -247,3 +247,22 @@ def test_autoattack_versions(model, data):
         assert _acc(logits_fn, v, adv, y) < 1.0
     with pytest.raises(ValueError):
         auto.autoattack(logits_fn, v, x, y, version="bogus")
+
+
+def test_apgd_stochastic_model_and_rand_version(model, data):
+    logits_fn, v = model
+    x, y = data
+
+    def noisy_fn(variables, xx, rng=None):
+        logits = logits_fn(variables, xx)
+        if rng is not None:
+            logits = logits + 0.01 * jax.random.normal(
+                rng, logits.shape)
+        return logits
+
+    adv = auto.apgd(noisy_fn, v, x, y, eps=0.1, steps=6, eot_iter=2)
+    assert float(jnp.max(jnp.abs(adv - x))) <= 0.1 + 1e-6
+    # the rand ensemble drives the stochastic path end-to-end
+    adv2 = auto.autoattack(noisy_fn, v, x, y, eps=0.15, n_classes=NC,
+                           version="rand")
+    assert float(jnp.max(jnp.abs(adv2 - x))) <= 0.15 + 1e-5
