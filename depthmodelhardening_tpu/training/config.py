@@ -67,6 +67,9 @@ class AdvSynthConfig:
     # width-cropped attack objective (attacks/base.py attack_crop_w):
     # None = reference full-frame model pass in the PGD loop
     attack_crop_w: Optional[int] = None
+    # EoT warp tile size (attacks/base.py tile_h/tile_w)
+    tile_h: int = 256
+    tile_w: int = 256
     half_no_synthesis: bool = False
     obj_name: str = "BMW"
     baseline: float = 0.54  # stereo extrinsic (mono_dataset.py:116)
@@ -126,6 +129,8 @@ class DistillConfig:
     compute_dtype: str = "float32"
     obj_name: str = "BMW"
     attack_crop_w: Optional[int] = None
+    tile_h: int = 256
+    tile_w: int = 256
     s2d_stem: bool = False
     fuse_upconv: bool = False
     scene_h: int = 320

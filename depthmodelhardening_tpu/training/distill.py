@@ -54,6 +54,7 @@ def build_attack(cfg: DistillConfig, predict_fn, obj_img, obj_mask):
         scene_h=cfg.scene_h, scene_w=cfg.scene_w,
         ori_h=cfg.ori_h, ori_w=cfg.ori_w,
         eval_pin_z0=6.1 if cfg.adv_type == "object_l0" else 7.0,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w,
         attack_crop_w=cfg.attack_crop_w)
     if cfg.adv_type == "object":
         return PGDObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,

@@ -129,6 +129,7 @@ class HardeningTrainer:
             dist_range=tuple(float(x) for x in TRAIN_DIST_RANGE),
             scene_h=ss.height, scene_w=ss.width,
             ori_h=cfg.adv.ori_h, ori_w=cfg.adv.ori_w,
+            tile_h=cfg.adv.tile_h, tile_w=cfg.adv.tile_w,
             attack_crop_w=cfg.adv.attack_crop_w)
         if cfg.adv.norm_type == "l_inf":
             self.attack = PGDObjectAttack(

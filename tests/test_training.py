@@ -300,3 +300,28 @@ def test_build_plain_batch_and_selfsup_frames_step(small_teacher):
                                             jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_hardening_step_with_attack_crop(small_teacher):
+    """attack_crop_w threads through HardeningConfig into the PGD
+    loop's model view (attacks/base.py:_crop_to_object)."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+    adv = AdvSynthConfig(norm_type="l_inf", steps=2,
+                         attack_batch_size=2, ori_h=ORI_H, ori_w=ORI_W,
+                         tile_h=96, tile_w=96, attack_crop_w=128)
+    cfg = HardeningConfig(selfsup=ss, adv=adv, batch_size=2)
+    tr = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                          teacher=small_teacher, steps_per_epoch=10)
+    assert tr.attack.cfg.attack_crop_w == 128  # < scene_w: active
+    state = tr.make_state()
+    B = 2
+    frames = {"0": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(B, ORI_H, ORI_W, seed=1))}
+    side = jnp.asarray([True, False])
+    flip = jnp.asarray([False, True])
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+    state, metrics = tr.train_step(state, frames, side, flip, scenes,
+                                   jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
