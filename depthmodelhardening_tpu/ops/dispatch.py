@@ -1,0 +1,25 @@
+"""Central Pallas-dispatch switch.
+
+jax.default_backend() is frozen at the first backend resolution, so a
+computation explicitly placed on a virtual CPU mesh (multi-chip dryruns,
+tests) would still take the TPU Pallas path if a TPU was ever visible in
+the process. Entry points that run on a non-default platform call
+set_pallas_enabled(False) to force the jnp fallbacks.
+"""
+
+from __future__ import annotations
+
+import jax
+
+_pallas_enabled = True
+
+
+def set_pallas_enabled(on: bool) -> None:
+    global _pallas_enabled
+    _pallas_enabled = bool(on)
+
+
+def pallas_available() -> bool:
+    """True when pallas TPU kernels may be emitted into the current
+    computation: the switch is on and the default backend is TPU."""
+    return _pallas_enabled and jax.default_backend() == "tpu"

@@ -172,9 +172,10 @@ def conv3x3_reflect(x, k, bias=None, use_pallas: bool = False):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     small_c = x.shape[-1] <= 64 and k.shape[-1] <= 64
     aligned = x.shape[1] % 8 == 0 and x.shape[2] % 128 == 0
+    from .dispatch import pallas_available
+
     # default False: measured slower than XLA's conv (see module doc)
-    if use_pallas and small_c and aligned and \
-            jax.default_backend() == "tpu":
+    if use_pallas and small_c and aligned and pallas_available():
         out = conv3x3_valid(xp, k).astype(x.dtype)
     else:
         out = jax.lax.conv_general_dilated(

@@ -172,7 +172,9 @@ fused_reprojection_loss.defvjp(_fwd, _bwd)
 def reprojection_loss_auto(pred, target):
     """Backend dispatch: pallas kernel on TPU, jnp elsewhere.
     Returns (B, H, W, 1) to match ops.losses.reprojection_loss."""
-    if jax.default_backend() == "tpu":
+    from .dispatch import pallas_available
+
+    if pallas_available():
         try:
             return fused_reprojection_loss(pred, target)[..., None]
         except Exception:

@@ -110,3 +110,29 @@ def test_metrics_logger_log_image(tmp_path):
     import os
     assert os.path.isfile(path)
     lg.close()
+
+
+def test_make_global_mesh_and_put_global_batch():
+    """Single-process degenerate path of the DCN helpers: global mesh ==
+    local mesh, put_global_batch == shard_batch."""
+    from depthmodelhardening_tpu.parallel.mesh import (
+        initialize_distributed, make_global_mesh, put_global_batch,
+    )
+
+    assert jax.process_count() == 1
+    mesh = make_global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2)}
+    out = put_global_batch(batch, mesh)
+    np.testing.assert_allclose(np.asarray(out["x"]), batch["x"])
+    assert out["x"].sharding.spec == batch_sharding(mesh).spec
+    # single-host: no coordinator -> returns False instead of raising
+    assert initialize_distributed() in (True, False)
+
+
+def test_make_mesh_provisions_virtual_cpu_devices():
+    """Requesting more devices than visible degrades to the virtual CPU
+    platform instead of failing closed (the conftest already forces 8
+    host devices, so this exercises the happy path end-to-end)."""
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
