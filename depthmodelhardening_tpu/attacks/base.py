@@ -67,9 +67,11 @@ class PhysObjAttackConfig:
     exact_composite: bool = False
     tile_h: int = 256
     tile_w: int = 256
-    # texture-gradient adjoint for the tiled path: "approx" (fast
-    # continuous adjoint, default) | "exact" | "scatter" (autodiff)
-    adjoint_mode: str = "approx"
+    # texture-gradient adjoint for the tiled path: "separable"
+    # (default: exact two-pass warp, MXU pass 1 + Pallas pass 2 with an
+    # exact mirrored-kernel adjoint) | "approx" (continuous adjoint) |
+    # "exact" | "scatter" (autodiff) on the 2-D gather sampler
+    adjoint_mode: str = "separable"
     # Inner-loop model crop: when set (e.g. 512), the attack objective
     # runs the depth model on a width-cropped window centered on the
     # object instead of the full scene_w frame — the targeted MSE only
@@ -101,8 +103,12 @@ class PhysObjAttackConfig:
         if P is None:
             # The attack family projects through the dataset calibration
             # (phy_obj_atk.py:53-56), which divides without epsilon
-            # (kitti_util.py:139-147).
-            P = Calibration.default().P.astype(np.float32)
+            # (kitti_util.py:139-147). For reduced-resolution scenes
+            # (tests/dryruns) the calib is scaled so the quad still
+            # lands in-frame; at native 1242x375 this is a no-op.
+            P = Calibration.default().P.astype(np.float32).copy()
+            P[0] *= self.ori_w / ORI_W
+            P[1] *= self.ori_h / ORI_H
             eps = 0.0
         else:
             eps = 1e-7

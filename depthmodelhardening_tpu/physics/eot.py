@@ -441,11 +441,111 @@ class EoTCompositor:
         """scene*(1-m) + obj*m (phy_obj_atk.py:88)."""
         return scenes * (1.0 - mask_scene) + obj_scene * mask_scene
 
+    def _separable_geometry(self, z0, alpha, T_b, sx_f, sy_f,
+                            model_h, model_w, tile_h, tile_w):
+        """Per-sample separable warp parameters.
+
+        The quad projected by `corners` has exactly vertical left/right
+        edges (same x and z on each side for yaw-only rotation through a
+        zero-skew projection), so the homography's b and h coefficients
+        are identically 0 and the source coords factor per column:
+          sx(x)    = (a*X + c) / (g*X + 1)          (row-independent)
+          sy(x, y) = A(x) * y + B(x),  A = e/(g*X+1)
+        with X the global output column. Returns
+        (sx_local (TW,), A (TW,), B (TW,), y0, x0).
+        """
+        ep = self.corners(z0, alpha, T_b)
+        ep_m = jnp.stack([(ep[:, 0] + 0.5) * sx_f - 0.5,
+                          (ep[:, 1] + 0.5) * sy_f - 0.5], axis=1)
+        coeffs = solve_homography(ep_m, jnp.asarray(self.startpoints))
+        a, _, c, d, e, f, g, _ = [coeffs[i] for i in range(8)]
+        y0 = jnp.clip(jnp.floor(jnp.min(ep_m[:, 1])) - 1.0,
+                      0.0, model_h - tile_h)
+        x0 = jnp.clip(jnp.floor(jnp.min(ep_m[:, 0])) - 1.0,
+                      0.0, model_w - tile_w)
+        l_pad = self.startpoints[0, 0]
+        t_pad = self.startpoints[0, 1]
+        X = jnp.arange(tile_w, dtype=jnp.float32) + 0.5 + x0
+        den = g * X + 1.0
+        sx = (a * X + c) / den - 0.5 - l_pad
+        A = e / den
+        B = (d * X + e * (0.5 + y0) + f) / den - 0.5 - t_pad
+        return sx, A, B, y0, x0
+
+    def composite_tiled_separable(self, scenes_model, obj, mask,
+                                  z0s, alphas, model_h: int, model_w: int,
+                                  tile_h: int = 256, tile_w: int = 256,
+                                  T: Optional[jnp.ndarray] = None):
+        """Separable-warp fast path of composite_tiled_model.
+
+        Numerically equal to the 2-D bilinear tile warp (the b=h=0
+        factorization is exact, see _separable_geometry) but TPU-shaped:
+        pass 1 (horizontal resample) is one MXU matmul over all EoT
+        samples, pass 2 (per-column vertical resample) is a VMEM-resident
+        Pallas kernel whose custom VJP gives the EXACT texture adjoint as
+        a mirrored kernel (ops/pallas_warp.py) — no gathers, no scatters.
+        """
+        from ..ops.pallas_warp import vertical_resample
+
+        B = z0s.shape[0]
+        C = obj.shape[-1]
+        oh, ow = self.cfg.obj_h, self.cfg.obj_w
+        sx_f = model_w / self.cfg.scene_w
+        sy_f = model_h / self.cfg.scene_h
+        dtype = scenes_model.dtype
+
+        def geom(z0, alpha, T_b):
+            return self._separable_geometry(z0, alpha, T_b, sx_f, sy_f,
+                                            model_h, model_w,
+                                            tile_h, tile_w)
+
+        if T is not None and T.ndim == 3:
+            sxs, As, Bs, y0s, x0s = jax.vmap(geom)(z0s, alphas, T)
+        else:
+            sxs, As, Bs, y0s, x0s = jax.vmap(
+                lambda z, a: geom(z, a, T))(z0s, alphas)
+
+        # pass-1 weights: wx[b, j, x] = tri(sx[b, x] - j); zero-fill
+        # outside the object box falls out of the triangular support.
+        j = jnp.arange(ow, dtype=jnp.float32)[None, :, None]
+        Wx = jnp.maximum(0.0, 1.0 - jnp.abs(sxs[:, None, :] - j))
+        Wx = jax.lax.stop_gradient(Wx).astype(dtype)
+
+        stacked = jnp.concatenate(
+            [obj, jnp.broadcast_to(mask, obj.shape[:-1] + (1,))],
+            axis=-1).astype(dtype)
+        if stacked.shape[0] == 1:
+            inter = jnp.einsum("kjc,bjx->bckx", stacked[0], Wx,
+                               preferred_element_type=jnp.float32,
+                               precision=_F32)
+        else:
+            inter = jnp.einsum("bkjc,bjx->bckx", stacked, Wx,
+                               preferred_element_type=jnp.float32,
+                               precision=_F32)
+        inter = inter.astype(dtype)
+
+        tiles = vertical_resample(inter, As, Bs, tile_h)
+        tiles = tiles.transpose(0, 2, 3, 1)  # (B, TH, TW, C+1)
+
+        def paste(scene_b, tile_b, y0, x0):
+            obj_t, m_t = tile_b[..., :C], tile_b[..., C:]
+            start = (y0.astype(jnp.int32), x0.astype(jnp.int32), 0)
+            scene_t = jax.lax.dynamic_slice(
+                scene_b, start, (tile_h, tile_w, scene_b.shape[-1]))
+            comp_t = scene_t * (1.0 - m_t) + obj_t * m_t
+            adv = jax.lax.dynamic_update_slice(scene_b, comp_t, start)
+            mask_full = jax.lax.dynamic_update_slice(
+                jnp.zeros(scene_b.shape[:2] + (1,), m_t.dtype), m_t,
+                start)
+            return adv, mask_full
+
+        return jax.vmap(paste)(scenes_model, tiles, y0s, x0s)
+
     def composite_tiled_model(self, scenes_model, obj, mask, z0s, alphas,
                               model_h: int, model_w: int,
                               tile_h: int = 256, tile_w: int = 256,
                               T: Optional[jnp.ndarray] = None,
-                              adjoint_mode: str = "approx"):
+                              adjoint_mode: str = "separable"):
         """Warp + composite directly at model resolution inside a small
         tile around the object quad.
 
@@ -463,7 +563,16 @@ class EoTCompositor:
         scenes_model: (B, model_h, model_w, 3) — resize(scenes) computed
         by the caller (loop-invariant). obj: (1|B, oh, ow, C).
         Returns (adv_model, mask_model) both full size.
+
+        adjoint_mode "separable" (default) routes to the exact two-pass
+        factorization (composite_tiled_separable); "approx"/"exact"/
+        "scatter" keep the 2-D gather sampler with the respective
+        texture adjoints.
         """
+        if adjoint_mode == "separable":
+            return self.composite_tiled_separable(
+                scenes_model, obj, mask, z0s, alphas, model_h, model_w,
+                tile_h, tile_w, T)
         B = z0s.shape[0]
         C = obj.shape[-1]
         oh, ow = self.cfg.obj_h, self.cfg.obj_w

@@ -1,0 +1,87 @@
+"""Crop-objective equivalence table (docs/FIDELITY.md §N).
+
+Quantitative side-by-side of the width-cropped attack objective
+(attack_crop_w=512) vs the reference full-frame objective
+(attack_crop_w=None): same scenes, same model, same seeds — optimize
+the adversarial texture with each objective, then measure the final
+full-frame attack effect with the evaluate_attacks metric suite
+(masked depth-error 8-tuple, evaluate_depth.py:57-99, scaled 5.4,
+clamp [1e-3, 80]). Finals/metrics are always full-frame; only the
+PGD-loop model view differs.
+
+Run on the TPU:  PYTHONPATH=/root/.axon_site:/root/repo \
+                 python scripts/crop_equivalence.py
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".cache_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from depthmodelhardening_tpu.attacks.base import PhysObjAttackConfig
+from depthmodelhardening_tpu.attacks.pgd_object import PGDObjectAttack
+from depthmodelhardening_tpu.data.synthetic import (
+    make_car_object, make_scene,
+)
+from depthmodelhardening_tpu.evaluation.attack_eval import (
+    METRIC_NAMES, _batch_metrics,
+)
+from depthmodelhardening_tpu.models.wrappers import (
+    init_monodepth2, predictor_from,
+)
+from depthmodelhardening_tpu.physics.eot import EVAL_DIST_RANGE
+
+BATCH = 12
+N_SCENES = 6
+H, W = 320, 1024
+ORI_H, ORI_W = 375, 1242
+
+
+def main():
+    model, variables = init_monodepth2(jax.random.PRNGKey(0), H, W,
+                                       dtype=jnp.bfloat16)
+    predictor = predictor_from(model, variables)
+    obj, mask = make_car_object(300, 200, seed=0)
+
+    base = PhysObjAttackConfig(
+        obj_h=200, obj_w=300,
+        dist_range=tuple(float(x) for x in EVAL_DIST_RANGE),
+        scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W)
+
+    results = {}
+    for crop in (None, 512):
+        cfg = dataclasses.replace(base, attack_crop_w=crop)
+        atk = PGDObjectAttack(predictor.apply_fn, jnp.asarray(obj),
+                              jnp.asarray(mask), cfg,
+                              eps=0.1, alpha=0.005, steps=10)
+        rows = []
+        for i in range(N_SCENES):
+            scene = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=10 + i))
+            key = jax.random.fold_in(jax.random.PRNGKey(17), i)
+            adv, ben, masks, _ = atk(predictor.variables, scene, BATCH,
+                                     key, eval_mode=True)
+            errs = _batch_metrics(predictor, adv, ben, masks)
+            rows.append(np.asarray(jnp.stack(errs)))
+        rows = np.stack(rows)
+        results[str(crop)] = dict(zip(METRIC_NAMES,
+                                      rows.mean(axis=0).tolist()))
+
+    print(json.dumps(results, indent=2))
+    full, crop = results["None"], results["512"]
+    print("\n| metric | full-frame | crop 512 | ratio |")
+    print("|---|---|---|---|")
+    for k in METRIC_NAMES:
+        r = crop[k] / full[k] if full[k] else float("nan")
+        print(f"| {k} | {full[k]:.4f} | {crop[k]:.4f} | {r:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
