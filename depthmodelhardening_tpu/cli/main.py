@@ -195,9 +195,38 @@ def cmd_train_distill(args):
                                   size=(cfg.ori_w, cfg.ori_h),
                                   train_list=args.train_list,
                                   val_list=args.val_list)
+    # per-epoch robustness eval on held-out scenes
+    # (simple_adv_training.py:148 eval_atk_perf every epoch)
+    val_set = None
+    if args.eval_count:
+        val_set = KittiObjectScenes(args.object_data_root, mode="val",
+                                    size=(cfg.ori_w, cfg.ori_h),
+                                    train_list=args.train_list,
+                                    val_list=args.val_list)
     from ..utils.logging import MetricsLogger
 
     logger = MetricsLogger(args.log_dir)
+
+    def run_val(epoch):
+        if val_set is None:
+            return
+        from ..training.distill import eval_atk_perf
+
+        def scenes_iter():
+            n = len(val_set)
+            idx = 42 % n  # start_idx (simple_adv_training.py:65)
+            for _ in range(args.eval_count):
+                yield jnp.asarray(val_set[idx % n][0])[None]
+                idx += 1
+
+        model_perf, atk_perf = eval_atk_perf(
+            trainer, state, scenes_iter(),
+            jax.random.PRNGKey(17), logger=logger, epoch=epoch)
+        logger.log(step, {"eval/model_perf": model_perf,
+                          "eval/atk_perf": atk_perf})
+        print(f"epoch {epoch} model_perf {model_perf:.4f} "
+              f"atk_perf {atk_perf:.4f}")
+
     step = 0
     try:
         for epoch in range(cfg.epochs):
@@ -212,6 +241,7 @@ def cmd_train_distill(args):
                     print(f"epoch {epoch} step {step} "
                           f"loss {scalars['loss']:.5f}")
                 step += 1
+            run_val(epoch)
             if epoch % 2 == 0:
                 export_reference_pth(
                     args.log_dir, epoch + 1,
@@ -242,7 +272,22 @@ def cmd_train_hardening(args):
     )
     from ..training.hardening import HardeningTrainer
 
-    model, variables, teacher = _load_predictor(args)
+    model, variables, predictor = _load_predictor(args)
+    # the frozen distillation teacher is the pretrained model; a
+    # separate folder may override it (trainer.py:93-95 gt_model)
+    if args.teacher_weights:
+        targs = argparse.Namespace(
+            **{**vars(args), "weights_folder": args.teacher_weights})
+        _, _, teacher = _load_predictor(targs)
+    else:
+        teacher = predictor
+    # --fine-tune starts the student from the pretrained weights
+    # (trainer.py:70-91); otherwise the student is randomly initialized
+    init_vars = None
+    if args.fine_tune:
+        if not args.weights_folder:
+            raise SystemExit("--fine-tune requires --weights-folder")
+        init_vars = {"depth": variables}
     obj, car_mask, _ = process_car_img(args.object_image,
                                        args.paint_mask_no)
 
@@ -272,7 +317,7 @@ def cmd_train_hardening(args):
         cfg, jax.random.PRNGKey(args.seed), obj, car_mask,
         teacher=teacher if cfg.supervised_adv else None,
         steps_per_epoch=steps_per_epoch, mesh=mesh,
-        init_variables=None)
+        init_variables=init_vars)
     state = trainer.make_state()
     # resume from the latest checkpoint when present (the reference
     # resumes via --load_weights_folder, trainer.py:787-812)
@@ -294,6 +339,22 @@ def cmd_train_hardening(args):
                                   train_list=args.train_list,
                                   val_list=args.val_list)
     scene_iter = iter(scene_set.batches(cfg.adv.attack_batch_size))
+
+    # periodic robustness val on held-out scenes (trainer.py:435-470
+    # runs evaluate_attacks on the in-training student every log step)
+    val_frequency = args.val_frequency
+    if val_frequency is None:
+        val_frequency = args.log_frequency if adv_train else 0
+    val_scene_set = None
+    if val_frequency:
+        from ..evaluation.attack_eval import iter_eval_scenes
+
+        val_scene_set = KittiObjectScenes(
+            args.object_data_root, mode="val",
+            size=(cfg.adv.ori_w, cfg.adv.ori_h),
+            train_list=args.train_list, val_list=args.val_list)
+        val_eval_cfg = trainer.default_eval_cfg(
+            eval_count=args.val_eval_count)
 
     from ..utils.logging import MetricsLogger
 
@@ -326,6 +387,23 @@ def cmd_train_hardening(args):
                     logger.log(step, scalars)
                     print(f"epoch {epoch} step {step} " + " ".join(
                         f"{k}={v:.5f}" for k, v in scalars.items()))
+                if val_frequency and adv_train and \
+                        step % val_frequency == 0:
+                    # robustness of the in-training student: attack it
+                    # on held-out scenes and log the masked depth-error
+                    # suite (trainer.py:435-470 val())
+                    res = trainer.evaluate_attacks(
+                        state,
+                        iter_eval_scenes(val_scene_set, val_eval_cfg),
+                        eval_cfg=val_eval_cfg,
+                        rng=jax.random.PRNGKey(17))
+                    flat = {f"val/{agg}_{name}": v
+                            for agg, row in res.items()
+                            for name, v in row.items()}
+                    logger.log(step, flat)
+                    print(f"  val step {step} "
+                          f"atk_abs_err={res['mean']['abs_err']:.4f} "
+                          f"atk_rmse={res['mean']['rmse']:.4f}")
                 step += 1
             save_state(os.path.join(args.log_dir, "ckpts"), step,
                        state)
@@ -432,6 +510,10 @@ def build_parser():
     pd.add_argument("--lr", type=float, default=1e-4)
     pd.add_argument("--epochs", type=int, default=20)
     pd.add_argument("--seed", type=int, default=17)
+    pd.add_argument("--eval-count", type=int, default=5,
+                    help="scenes per per-epoch robustness eval "
+                         "(the reference uses 50, "
+                         "simple_adv_training.py:64; 0 disables)")
     pd.add_argument("--log-dir", default="./logs/distill")
     pd.add_argument("--compute-dtype", default="bfloat16")
     pd.add_argument("--train-list", default="trainval.txt")
@@ -455,6 +537,20 @@ def build_parser():
     ph.add_argument("--lr", type=float, default=1e-5)
     ph.add_argument("--epochs", type=int, default=20)
     ph.add_argument("--seed", type=int, default=17)
+    ph.add_argument("--fine-tune", action="store_true",
+                    help="start the student from --weights-folder "
+                         "(the reference recipe hardens a pretrained "
+                         "model, trainer.py:70-91)")
+    ph.add_argument("--teacher-weights", default=None,
+                    help="separate weights folder for the frozen "
+                         "distillation teacher (defaults to "
+                         "--weights-folder)")
+    ph.add_argument("--val-frequency", type=int, default=None,
+                    help="steps between robustness evals on held-out "
+                         "scenes (default: --log-frequency; 0 disables)")
+    ph.add_argument("--val-eval-count", type=int, default=2,
+                    help="eval batches per robustness check (the "
+                         "reference uses 10, trainer.py:455-465)")
     ph.add_argument("--supervised-adv",
                     action=argparse.BooleanOptionalAction, default=True)
     ph.add_argument("--contrastive-learning",

@@ -145,3 +145,60 @@ class DistillTrainer:
         if self.mesh is not None:
             scenes = shard_batch(scenes, self.mesh)
         return self._train_step(state, scenes, rng)
+
+
+def eval_atk_perf(trainer: DistillTrainer, state, scenes_iter, rng,
+                  logger=None, epoch: int = 0):
+    """Per-epoch robustness check (simple_adv_training.py:59-94).
+
+    For eval scene batches: attack the in-training student (eval-pinned
+    EoT sample), then measure
+      model_perf: mean |depth(student(ben)) - depth(teacher(ben))|
+                  (lower = student tracks the frozen teacher), and
+      atk_perf:   mean |depth(student(adv)) - depth(teacher(ben))|
+                  inside the object mask (higher = attack still works).
+    Logs 6-panel comparison images for the first batch like the
+    reference's eval/model_comp + eval/atk_comp TB panels.
+    Returns (model_perf, atk_perf).
+    """
+    import numpy as np
+
+    from ..ops.metrics import get_mean_depth_diff
+
+    student = trainer.student_variables(state)
+    teacher = trainer.teacher
+    model_acc, atk_acc, n = 0.0, 0.0, 0
+    for i, scenes in enumerate(scenes_iter):
+        k = jax.random.fold_in(rng, i)
+        scenes = jnp.asarray(scenes)
+        if trainer.cfg.adv_type == "image":
+            adv, ben = trainer.attack(student, scenes, k)
+            masks = None
+        else:
+            adv, ben, masks, _ = trainer.attack(
+                student, scenes, trainer.cfg.batch_size, k,
+                eval_mode=True)
+        disp_gt = teacher.apply_fn(teacher.variables, ben)
+        disp_pre = trainer.model.apply(student, ben, train=False)
+        disp_atk = trainer.model.apply(student, adv, train=False)
+        if i == 0 and logger is not None:
+            from ..utils.visualize import eval_depth_diff
+
+            ben0 = np.asarray(ben[0], np.float32)
+            adv0 = np.asarray(adv[0], np.float32)
+            img_model, _, _ = eval_depth_diff(
+                ben0, ben0, disp1=np.asarray(disp_pre)[0, ..., 0],
+                disp2=np.asarray(disp_gt)[0, ..., 0])
+            img_atk, _, _ = eval_depth_diff(
+                adv0, ben0, disp1=np.asarray(disp_atk)[0, ..., 0],
+                disp2=np.asarray(disp_gt)[0, ..., 0])
+            logger.log_image(epoch, "eval/model_comp",
+                             np.asarray(img_model))
+            logger.log_image(epoch, "eval/atk_comp", np.asarray(img_atk))
+        model_acc += float(get_mean_depth_diff(disp_pre, disp_gt,
+                                               None, use_abs=True))
+        atk_acc += float(get_mean_depth_diff(disp_atk, disp_gt,
+                                             masks, use_abs=True))
+        n += 1
+    n = max(n, 1)
+    return model_acc / n, atk_acc / n

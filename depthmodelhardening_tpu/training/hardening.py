@@ -155,7 +155,20 @@ class HardeningTrainer:
             decay_rate=cfg.scheduler_gamma, staircase=True)
         self.tx = optax.adam(schedule)
 
-        self._variables = init_variables or self._init_variables(rng)
+        # init_variables may be partial (e.g. {"depth": pretrained} for
+        # --fine_tune, trainer.py:70-91): missing collections (simsiam /
+        # pose nets) are freshly initialized and the given ones override.
+        required = {"depth"}
+        if self.simsiam is not None:
+            required.add("simsiam")
+        if self.use_pose:
+            required.update(("pose_encoder", "pose_decoder"))
+        if init_variables and required <= set(init_variables):
+            self._variables = dict(init_variables)
+        else:
+            self._variables = self._init_variables(rng)
+            if init_variables:
+                self._variables.update(init_variables)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._selfsup_step = jax.jit(self._plain_step, donate_argnums=(0,))
         self._selfsup_frames_step = jax.jit(self._plain_frames_step,
@@ -378,40 +391,45 @@ class HardeningTrainer:
             batch = shard_batch(batch, self.mesh)
         return self._selfsup_step(state, batch, rng)
 
+    def default_eval_cfg(self, **overrides):
+        """AttackEvalConfig mirroring the training attack's own
+        hyperparameters (trainer.py:455-465 val() args)."""
+        from ..evaluation.attack_eval import AttackEvalConfig
+
+        ss = self.cfg.selfsup
+        return AttackEvalConfig(
+            norm_type=self.cfg.adv.norm_type,
+            epsilon=self.cfg.adv.epsilon,
+            alpha=self.cfg.adv.alpha,
+            step=self.cfg.adv.steps,
+            adam_lr=self.cfg.adv.adam_lr,
+            mask_wt=self.cfg.adv.mask_wt,
+            l0_thresh=self.cfg.adv.l0_thresh,
+            obj_name=self.cfg.adv.obj_name,
+            batch_size=self.cfg.adv.attack_batch_size,
+            scene_h=ss.height, scene_w=ss.width,
+            ori_h=self.cfg.adv.ori_h, ori_w=self.cfg.adv.ori_w,
+            **overrides)
+
     def evaluate_attacks(self, state, scenes_iter, eval_cfg=None,
                          rng=None):
         """Periodic robustness check on the in-training student
         (trainer.py:435-470 val() -> evaluate_attacks with the training
-        attack's own hyperparameters). The attack instance is cached so
-        repeat evaluations reuse its jit cache (the attack inner loop is
-        the most expensive compile in the codebase)."""
-        from ..evaluation.attack_eval import (
-            AttackEvalConfig, build_attack, evaluate_attacks,
-        )
+        attack's own hyperparameters). The attack instance is cached
+        per-config so repeat evaluations reuse its jit cache (the attack
+        inner loop is the most expensive compile in the codebase)."""
+        from ..evaluation.attack_eval import build_attack, evaluate_attacks
         from ..models.wrappers import DepthPredictor
 
         if eval_cfg is None:
-            if getattr(self, "_eval_cfg", None) is None:
-                ss = self.cfg.selfsup
-                self._eval_cfg = AttackEvalConfig(
-                    norm_type=self.cfg.adv.norm_type,
-                    epsilon=self.cfg.adv.epsilon,
-                    alpha=self.cfg.adv.alpha,
-                    step=self.cfg.adv.steps,
-                    adam_lr=self.cfg.adv.adam_lr,
-                    mask_wt=self.cfg.adv.mask_wt,
-                    l0_thresh=self.cfg.adv.l0_thresh,
-                    obj_name=self.cfg.adv.obj_name,
-                    batch_size=self.cfg.adv.attack_batch_size,
-                    scene_h=ss.height, scene_w=ss.width,
-                    ori_h=self.cfg.adv.ori_h, ori_w=self.cfg.adv.ori_w)
-                self._eval_attack = build_attack(
-                    self._eval_cfg, self._student_predict,
-                    self.obj_img, self.obj_mask)
-            eval_cfg, attack = self._eval_cfg, self._eval_attack
-        else:
-            attack = build_attack(eval_cfg, self._student_predict,
-                                  self.obj_img, self.obj_mask)
+            eval_cfg = getattr(self, "_eval_cfg", None) or \
+                self.default_eval_cfg()
+        if getattr(self, "_eval_cfg", None) != eval_cfg:
+            self._eval_cfg = eval_cfg
+            self._eval_attack = build_attack(
+                eval_cfg, self._student_predict, self.obj_img,
+                self.obj_mask)
+        attack = self._eval_attack
         predictor = DepthPredictor(apply_fn=self._student_predict,
                                    variables=self.student_variables(state))
         return evaluate_attacks(predictor, attack, scenes_iter,

@@ -50,6 +50,7 @@ def _batch_for_selfsup(rng, B=2, cfg=None):
     }
 
 
+@pytest.mark.slow
 def test_selfsup_identical_frames_low_loss():
     """When source == target the automask identity branch should win and
     the reprojection part of the loss should be ~0 (uniform images also
@@ -69,6 +70,7 @@ def test_selfsup_identical_frames_low_loss():
     assert abs(float(loss)) < 1e-3
 
 
+@pytest.mark.slow
 def test_selfsup_loss_grads_finite():
     cfg = _small_selfsup()
     rng = jax.random.PRNGKey(1)
@@ -130,6 +132,7 @@ def small_teacher():
     return predictor_from(model, variables)
 
 
+@pytest.mark.slow
 def test_distill_step_updates_params(small_teacher):
     obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
     cfg = DistillConfig(adv_type="object", steps=2, batch_size=2,
@@ -146,6 +149,7 @@ def test_distill_step_updates_params(small_teacher):
     assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
 
 
+@pytest.mark.slow
 def test_distill_image_attack_step(small_teacher):
     cfg = DistillConfig(adv_type="image", steps=2, batch_size=2,
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W)
@@ -165,6 +169,7 @@ def _hardening_cfg(**kw):
     return HardeningConfig(selfsup=ss, adv=adv, batch_size=2, **kw)
 
 
+@pytest.mark.slow
 def test_hardening_step_full_recipe(small_teacher):
     """supervised + contrastive + photometric, l_inf texture refresh."""
     obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
@@ -189,6 +194,7 @@ def test_hardening_step_full_recipe(small_teacher):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_hardening_step_mono_pose(small_teacher):
     """Monocular frames exercise the pose-network branch."""
     obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
@@ -211,6 +217,7 @@ def test_hardening_step_mono_pose(small_teacher):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_hardening_data_parallel_mesh(small_teacher):
     """The same step under an 8-device mesh: params replicated, batch
     sharded; result must be finite and the state stays replicated."""
@@ -236,6 +243,7 @@ def test_hardening_data_parallel_mesh(small_teacher):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_hardening_manydepth_family(small_teacher):
     """ManyDepth family: cost-volume encoder in single-frame mode,
     /8.6437 rescale, full hardening objectives."""
@@ -261,6 +269,7 @@ def test_hardening_manydepth_family(small_teacher):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_build_plain_batch_and_selfsup_frames_step(small_teacher):
     """Vanilla (no-adv) training: plain batch building + jitted step."""
     from depthmodelhardening_tpu.training.adv_synth import (
@@ -302,6 +311,7 @@ def test_build_plain_batch_and_selfsup_frames_step(small_teacher):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_hardening_step_with_attack_crop(small_teacher):
     """attack_crop_w threads through HardeningConfig into the PGD
     loop's model view (attacks/base.py:_crop_to_object)."""
@@ -325,3 +335,31 @@ def test_hardening_step_with_attack_crop(small_teacher):
                                    jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_fine_tune_init_starts_student_at_pretrained():
+    """--fine_tune semantics (trainer.py:70-91): a partial
+    init_variables={"depth": pretrained} must leave the step-0 student
+    disparity identical to the pretrained model's, while simsiam/pose
+    collections are freshly initialized."""
+    H, W = 64, 192
+    model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W)
+    teacher = predictor_from(model, tvars)
+    obj, mask = make_car_object(24, 16, seed=0)
+    cfg = HardeningConfig(
+        selfsup=SelfSupConfig(height=H, width=W, frame_ids=("0", "s")),
+        adv=AdvSynthConfig(norm_type="l_inf", steps=1,
+                           attack_batch_size=2, ori_h=96, ori_w=320),
+        batch_size=2, compute_dtype="float32")
+    trainer = HardeningTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
+                               teacher=teacher, steps_per_epoch=10,
+                               init_variables={"depth": tvars})
+    state = trainer.make_state()
+    assert "simsiam" in state.params  # freshly initialized collections
+
+    x = jnp.asarray(make_scene(1, H, W, seed=2))
+    d_student = trainer.model.apply(trainer.student_variables(state), x,
+                                    train=False)
+    d_teacher = teacher.apply_fn(tvars, x)
+    np.testing.assert_allclose(np.asarray(d_student),
+                               np.asarray(d_teacher), atol=0)
