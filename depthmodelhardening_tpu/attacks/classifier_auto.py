@@ -81,26 +81,23 @@ def _target_classes(logits_clean, n_classes):
 
 
 def _apgd_checkpoints(steps):
-    """Croce-Hein checkpoint iterations: first at ceil(0.22*steps), then
-    intervals shrinking by 0.03*steps down to 0.06*steps
-    (apgd.py:163-171)."""
+    """Croce-Hein checkpoint iterations (apgd.py:85, 192-211): counter3
+    hits k = ceil(0.22*steps) at loop index i = k-1, then k shrinks by
+    0.03*steps down to 0.06*steps between checkpoints. The oscillation
+    window at each checkpoint is the current k."""
     n2 = max(int(0.22 * steps), 1)
     nmin = max(int(0.06 * steps), 1)
     decr = max(int(0.03 * steps), 1)
-    ckpts, k, pos = [], n2, n2
+    ckpts, k, pos = [], n2, n2 - 1
     while pos < steps:
-        ckpts.append(pos)
+        ckpts.append((pos, k))
         k = max(k - decr, nmin)
         pos += k
     mask = np.zeros(steps, dtype=bool)
-    for c in ckpts:
-        mask[c] = True
-    # window size at each checkpoint = distance since previous one
     win = np.zeros(steps, dtype=np.int32)
-    prev = 0
-    for c in ckpts:
-        win[c] = c - prev
-        prev = c
+    for c, kc in ckpts:
+        mask[c] = True
+        win[c] = kc
     return jnp.asarray(mask), jnp.asarray(win)
 
 
@@ -232,14 +229,17 @@ def _apgd_single_run(logits_fn, variables, images, labels, loss_fn,
              reduced_last_check) = args
             k = ck_win[i]
             idx = jnp.arange(steps)
-            # count steps j in (i-k, i] where loss rose over step j-1
-            in_win = (idx > i - k) & (idx <= i) & (idx >= 1)
+            # count steps j in (i-k, i] where loss rose over step j-1;
+            # j=0 compares against the reference's zero-initialized
+            # loss_steps[-1] (check_oscillation, apgd.py:65-70)
+            in_win = (idx > i - k) & (idx <= i)
             prev = jnp.concatenate(
                 [jnp.zeros((1, B)), loss_steps[:-1]], axis=0)
             rises = jnp.sum(
                 jnp.where(in_win[:, None], loss_steps > prev, False),
                 axis=0)
-            cond1 = rises < rho * k
+            # halve when rises <= rho*k (reference: t <= k*k3)
+            cond1 = rises <= rho * k
             cond2 = (~reduced_last_check) & (
                 loss_best_last_check >= loss_best)
             reduce = cond1 | cond2

@@ -103,7 +103,10 @@ def evaluate_clean(predictor, frames_and_gts: Iterable[Tuple[np.ndarray,
             bilinear_resize(jnp.asarray(scaled), gt_h, gt_w))[0, ..., 0]
         pred_depth = 1.0 / pred_disp
 
-        mask = (gt > 0) & eigen_crop_mask(gt_h, gt_w)
+        # valid-depth bounds + eigen crop (evaluate_depth.py:360-367:
+        # mask = (gt > MIN_DEPTH) & (gt < MAX_DEPTH) & crop)
+        mask = ((gt > cfg.min_depth) & (gt < cfg.max_depth) &
+                eigen_crop_mask(gt_h, gt_w))
         pred = pred_depth[mask]
         gt_m = gt[mask]
 

@@ -106,6 +106,90 @@ def area_light(alpha, beta, wavelength, w: int = 150, h: int = 150,
     return jnp.broadcast_to(plane * color[None, None, :], (h, w, 3))
 
 
+def tube_light_generation(angle, alpha, beta, wavelength,
+                          w: int = 400, h: int = 400):
+    """Angle-form tube light (light_simulation.py:164-217), shape (h,w,3).
+
+    The reference builds horizontal bands row by row — full intensity
+    in rows [light_end, total_dist], beta/d^2 attenuation flanks (its
+    write order makes row total_dist attenuated, replicated here) —
+    then applies scipy ndimage.rotate(angle, reshape=False). Here the
+    bands are a closed-form row map and the rotation an inverse-rotation
+    bilinear resample about the image center (the reference's cubic
+    spline differs sub-pixel; oracle-tested against order=1 rotate).
+    Note the reference uses sqrt(beta*10) here, unlike the *20 of the
+    by-func variant.
+    """
+    full_end = jnp.trunc(jnp.sqrt(beta) + 0.5)
+    light_end = jnp.trunc(jnp.sqrt(beta * 10.0) + 0.5)
+    total_dist = light_end + full_end
+
+    r = jnp.arange(h, dtype=jnp.float32)
+    d_low = total_dist - r
+    d_high = r - light_end
+    att = jnp.where(
+        r <= light_end, beta / jnp.maximum(d_low * d_low, 1e-12),
+        jnp.where(r < total_dist, 1.0,
+                  jnp.where(r <= total_dist + light_end,
+                            beta / jnp.maximum(d_high * d_high, 1e-12),
+                            0.0)))
+    R, G, B = wavelength_to_rgb(wavelength)
+    color = jnp.stack([R, G, B]) * alpha
+    pattern = att[:, None, None] * color[None, None, :]
+    pattern = jnp.broadcast_to(pattern, (h, w, 3))
+    return _rotate_image(pattern, angle)
+
+
+def _rotate_image(img, angle_deg):
+    """ndimage.rotate(reshape=False, cval=0) equivalent: inverse-rotate
+    output pixel coords about the center, bilinear zero-fill sample.
+    img: (H, W, C); angle traced scalar in degrees."""
+    from ..ops.sampling import bilinear_sample_pixels
+
+    H, W = img.shape[:2]
+    th = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] - cy
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] - cx
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    # matches scipy's direction (oracle-tested): the inverse map
+    # rotates output coords by +angle in (row, col) space
+    sy = cos * ys + sin * xs + cy
+    sx = -sin * ys + cos * xs + cx
+    sy = jnp.broadcast_to(sy, (H, W))
+    sx = jnp.broadcast_to(sx, (H, W))
+    out = bilinear_sample_pixels(img[None], sx[None], sy[None],
+                                 padding_mode="zeros")[0]
+    # scipy mode="constant": coords outside the input extent give cval
+    # outright (no partial interpolation against the fill value)
+    valid = ((sy >= 0) & (sy <= H - 1) & (sx >= 0) & (sx <= W - 1))
+    return out * valid[..., None].astype(out.dtype)
+
+
+def point_light_generation(st, alpha, beta, wavelength,
+                           w: int = 400, h: int = 400):
+    """Point light — the reference is an unimplemented stub returning a
+    zero pattern (light_simulation.py:221-243); replicated verbatim for
+    module-surface parity."""
+    del st, alpha, beta, wavelength
+    return jnp.zeros((h, w, 3), jnp.float32)
+
+
+def gaussian_add(base_img, light_pattern, rng, eps: float = 128 / 255.0):
+    """Pattern-modulated Gaussian noise (light_simulation.py:30-38) in
+    [0,1] space: noise ~ N(0,1) per pixel, scaled by eps * pattern and
+    clipped to [-eps, eps]; added WITHOUT clamping the result, like the
+    reference. eps defaults to the reference's 128 (on 0..255) mapped
+    to [0,1]. base_img (..., H, W, 3); light_pattern (H, W, 3) in [0,1];
+    rng: jax PRNG key (replaces np.random.normal).
+    """
+    import jax
+
+    s = jax.random.normal(rng, base_img.shape, jnp.float32)
+    g = jnp.clip(s * eps * light_pattern, -eps, eps)
+    return base_img + g
+
+
 def simple_add(base_img, light_pattern, alpha=1.0,
                quantize: bool = True):
     """Additive composite in [0,1] space; the reference operates on

@@ -279,3 +279,64 @@ def test_l0_attack_reduces_targeted_cost(small_model, obj_and_scene):
     c_adv = _targeted_cost(small_model, obj_adv, obj, mask, scenes,
                            cfg, z0=6.1)
     assert c_adv < c_ben, (c_adv, c_ben)
+
+
+def test_tube_light_generation_matches_reference_bands():
+    """Angle-form tube light (light_simulation.py:164-217): numpy
+    transcription of the band-writing loops (including the write-order
+    quirk that leaves row total_dist attenuated), then scipy order-1
+    rotate as the rotation oracle."""
+    from depthmodelhardening_tpu.physics.light import tube_light_generation
+
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+    alpha, beta, wl = 1.0, 36.0, 520
+    h = w = 64
+    angle = 17.0
+
+    want = np.zeros((h, w, 3))
+    full_end = int(math.sqrt(beta) + 0.5)
+    light_end = int(math.sqrt(beta * 10) + 0.5)
+    total_dist = light_end + full_end
+    total_width = light_end * 2 + full_end
+    c = _np_wavelength_to_rgb(wl)
+    for y in range(light_end, total_dist + 1):
+        want[y, :] = [ci * alpha for ci in c]
+    for y in range(light_end + 1):
+        d = total_dist - y
+        att = beta / (d * d)
+        want[y, :] = [ci * alpha * att for ci in c]
+        want[total_width - y, :] = [ci * alpha * att for ci in c]
+    want = scipy_ndimage.rotate(want, angle, reshape=False, order=1)
+
+    got = np.asarray(tube_light_generation(angle, alpha, beta, wl,
+                                           w=w, h=h))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_point_light_is_reference_stub():
+    from depthmodelhardening_tpu.physics.light import point_light_generation
+
+    out = np.asarray(point_light_generation(
+        {"start_point": (3, 4), "radium": 2}, 1.0, 100.0, 520,
+        w=16, h=16))
+    assert out.shape == (16, 16, 3)
+    assert np.all(out == 0)
+
+
+def test_gaussian_add_bounds_and_support():
+    """Noise is bounded by eps, zero where the pattern is zero, and the
+    result is NOT clamped (light_simulation.py:30-38)."""
+    import jax
+
+    from depthmodelhardening_tpu.physics.light import gaussian_add
+
+    rng = np.random.RandomState(0)
+    base = jnp.asarray(rng.rand(8, 8, 3).astype(np.float32))
+    pattern = jnp.zeros((8, 8, 3)).at[:4].set(1.0)
+    eps = 128 / 255.0
+    out = np.asarray(gaussian_add(base, pattern, jax.random.PRNGKey(0),
+                                  eps=eps))
+    diff = out - np.asarray(base)
+    assert np.all(np.abs(diff) <= eps + 1e-6)
+    np.testing.assert_allclose(diff[4:], 0.0, atol=1e-7)
+    assert np.abs(diff[:4]).max() > 0.01
