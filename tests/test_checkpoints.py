@@ -19,6 +19,7 @@ from depthmodelhardening_tpu.training.distill import DistillTrainer
 H, W = 64, 192
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     obj, mask = make_car_object(36, 24)
     model, variables = init_monodepth2(jax.random.PRNGKey(7), H, W)

@@ -99,6 +99,7 @@ def _hint_batch(B=2):
     return cfg, batch
 
 
+@pytest.mark.slow
 def test_depth_hints_loss_finite_and_grad():
     cfg, batch = _hint_batch()
     disps = {s: jnp.full((2, H // 2 ** s, W // 2 ** s, 1), 0.3)

@@ -60,6 +60,7 @@ def _cfg(**kw):
     return AttackEvalConfig(**base)
 
 
+@pytest.mark.slow
 def test_attack_steps_sweep(pred):
     obj, mask = make_car_object(300, 200, seed=3)
     res = attack_steps_sweep(pred, jnp.asarray(obj), jnp.asarray(mask),
@@ -69,6 +70,7 @@ def test_attack_steps_sweep(pred):
         assert np.isfinite(v["mean"]["rmse"])
 
 
+@pytest.mark.slow
 def test_crosscheck_matrix(pred):
     obj, mask = make_car_object(300, 200, seed=3)
     preds = {"a": pred, "b": _Pred(seed=9)}

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from depthmodelhardening_tpu.ops.fused_upconv import (
     fused_upsample_conv3x3, pack_upconv_kernel)
@@ -64,6 +65,7 @@ def test_fused_gradients_match_naive():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decoder_fused_flag_identical_params_and_outputs():
     from depthmodelhardening_tpu.models.depth_decoder import DepthDecoder
 

@@ -78,6 +78,7 @@ def test_zero_pose_means_missing_frame(enc_and_vars):
     assert float(jnp.max(confidence)) == 0.0
 
 
+@pytest.mark.slow
 def test_manydepth_model_forward():
     model = ManyDepthModel(num_layers=18, input_height=H, input_width=W)
     K, invK = _K_quarter()

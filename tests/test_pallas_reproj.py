@@ -38,6 +38,7 @@ def test_kernel_matches_jnp(shape):
                                atol=2e-6)
 
 
+@pytest.mark.slow
 def test_custom_vjp_grad_matches_jnp_grad():
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 128, 3))
     y = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 128, 3))
