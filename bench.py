@@ -54,11 +54,13 @@ def main():
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
                         # measured wins on v5e (docs/PERFORMANCE.md):
-                        # attack objective on a 512-wide object-centered
-                        # crop (~2x cheaper model pass in the PGD loop,
-                        # sign-preserving gradient signal) + exact
+                        # attack objective on a 384x256 object-centered
+                        # crop (~3x cheaper model pass in the PGD loop;
+                        # <=3% attack-strength delta per the
+                        # docs/FIDELITY.md equivalence table) + exact
                         # space-to-depth stem (-12% model bwd)
-                        attack_crop_w=512, s2d_stem=True)
+                        attack_crop_w=384, attack_crop_h=256,
+                        s2d_stem=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()

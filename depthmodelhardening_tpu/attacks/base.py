@@ -82,21 +82,28 @@ class PhysObjAttackConfig:
     # reference full-frame objective (phy_obj_atk.py:83-94). Final
     # composites and the hardening train step are never cropped.
     attack_crop_w: Optional[int] = None
+    # Optional vertical companion to attack_crop_w: crop rows to this
+    # height centered on the object mask (the quad is <=~230 px tall at
+    # z0 >= 5 m vs the 320-px frame). Same semantics/rescaling.
+    attack_crop_h: Optional[int] = None
 
     def __post_init__(self):
-        cw = self.attack_crop_w
-        if cw is not None and cw < self.scene_w:
-            # the crop must contain the object tile or the rescaled
-            # cost no longer matches the full-frame objective
-            if cw < min(self.tile_w, self.scene_w):
-                raise ValueError(
-                    f"attack_crop_w={cw} is narrower than the object "
-                    f"tile (tile_w={self.tile_w}); the mask would be "
-                    "truncated")
-            if cw % 32:
-                raise ValueError(
-                    f"attack_crop_w={cw} must be a multiple of 32 "
-                    "(encoder downsamples 5x by 2)")
+        for name, crop, full, tile in (
+                ("attack_crop_w", self.attack_crop_w, self.scene_w,
+                 self.tile_w),
+                ("attack_crop_h", self.attack_crop_h, self.scene_h,
+                 self.tile_h)):
+            if crop is not None and crop < full:
+                # the crop must contain the object tile or the rescaled
+                # cost no longer matches the full-frame objective
+                if crop < min(tile, full):
+                    raise ValueError(
+                        f"{name}={crop} is smaller than the object "
+                        f"tile ({tile}); the mask would be truncated")
+                if crop % 32:
+                    raise ValueError(
+                        f"{name}={crop} must be a multiple of 32 "
+                        "(encoder downsamples 5x by 2)")
 
     def make_eot(self) -> EoTCompositor:
         P = self.projection
@@ -189,10 +196,14 @@ class PhysObjAttack:
     def _targeted_cost(self, variables, adv_scenes, masks):
         """Targeted zero-disparity MSE inside the object mask
         (phy_obj_atk.py:94): mean((disp * mask)^2)."""
+        B, H, W, _ = adv_scenes.shape
         cw = self.cfg.attack_crop_w
-        if cw is not None and cw < adv_scenes.shape[2]:
+        ch = self.cfg.attack_crop_h
+        cw = cw if cw is not None and cw < W else None
+        ch = ch if ch is not None and ch < H else None
+        if cw is not None or ch is not None:
             adv_scenes, masks, scale = self._crop_to_object(
-                adv_scenes, masks, cw)
+                adv_scenes, masks, cw or W, ch or H)
             disp = self.predict_fn(variables, adv_scenes)
             # rescale the crop mean back to the full-frame mean so
             # magnitude-sensitive optimizers (Adam/APGD checkpoints)
@@ -201,27 +212,33 @@ class PhysObjAttack:
         disp = self.predict_fn(variables, adv_scenes)
         return jnp.mean((disp * masks) ** 2)
 
-    def _crop_to_object(self, adv_scenes, masks, cw: int):
-        """Width-crop each sample to `cw` columns centered on the object
-        mask's center of mass (integer offset, stop-gradient)."""
+    def _crop_to_object(self, adv_scenes, masks, cw: int, ch: int):
+        """Crop each sample to (ch, cw) centered on the object mask's
+        center of mass (integer offsets, stop-gradient)."""
         B, H, W, _ = adv_scenes.shape
+        msum = jnp.maximum(jnp.sum(masks, axis=(1, 2, 3)), 1e-6)
+        has = jnp.sum(masks, axis=(1, 2, 3)) > 0
         xs = jnp.arange(W, dtype=jnp.float32)
-        msum = jnp.sum(masks, axis=(1, 2, 3))
+        ys = jnp.arange(H, dtype=jnp.float32)
         cx = jnp.where(
-            msum > 0,
+            has,
             jnp.sum(masks[..., 0] * xs[None, None, :], axis=(1, 2))
-            / jnp.maximum(msum, 1e-6),
-            W / 2.0)
-        x0 = jnp.clip(jnp.round(cx - cw / 2).astype(jnp.int32),
-                      0, W - cw)
-        x0 = jax.lax.stop_gradient(x0)
+            / msum, W / 2.0)
+        cy = jnp.where(
+            has,
+            jnp.sum(masks[..., 0] * ys[None, :, None], axis=(1, 2))
+            / msum, H / 2.0)
+        x0 = jax.lax.stop_gradient(jnp.clip(
+            jnp.round(cx - cw / 2).astype(jnp.int32), 0, W - cw))
+        y0 = jax.lax.stop_gradient(jnp.clip(
+            jnp.round(cy - ch / 2).astype(jnp.int32), 0, H - ch))
 
-        def crop(img, off):
+        def crop(img, offy, offx):
             return jax.lax.dynamic_slice(
-                img, (0, off, 0), (H, cw, img.shape[-1]))
+                img, (offy, offx, 0), (ch, cw, img.shape[-1]))
 
-        return (jax.vmap(crop)(adv_scenes, x0),
-                jax.vmap(crop)(masks, x0), cw / W)
+        return (jax.vmap(crop)(adv_scenes, y0, x0),
+                jax.vmap(crop)(masks, y0, x0), (ch * cw) / (H * W))
 
     def _final_za(self, rng, batch: int):
         """EoT sample for the final composites; subclasses with bespoke
@@ -264,8 +281,14 @@ class PhysObjAttack:
                                        self.cfg.scene_w)
         kw = dict(model_h=self.cfg.scene_h, model_w=self.cfg.scene_w,
                   tile_h=min(self.cfg.tile_h, self.cfg.scene_h),
-                  tile_w=min(self.cfg.tile_w, self.cfg.scene_w),
-                  adjoint_mode=self.cfg.adjoint_mode)
+                  tile_w=min(self.cfg.tile_w, self.cfg.scene_w))
+        if self.cfg.adjoint_mode == "separable":
+            # adv + benign share the homographies: one stacked warp
+            adv, ben, masks = self.eot.composite_tiled_pair(
+                scenes_model, obj_adv, self.obj_img, self.obj_mask,
+                z0s, alphas, **kw)
+            return adv, ben, masks
+        kw["adjoint_mode"] = self.cfg.adjoint_mode
         adv, masks = self.eot.composite_tiled_model(
             scenes_model, obj_adv, self.obj_mask, z0s, alphas, **kw)
         ben, _ = self.eot.composite_tiled_model(

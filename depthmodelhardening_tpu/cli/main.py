@@ -183,6 +183,7 @@ def cmd_train_distill(args):
                         learning_rate=args.lr, epochs=args.epochs,
                         compute_dtype=args.compute_dtype,
                         attack_crop_w=args.attack_crop_w,
+                        attack_crop_h=args.attack_crop_h,
                         s2d_stem=args.s2d_stem,
                         fuse_upconv=args.fuse_upconv)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
@@ -298,7 +299,8 @@ def cmd_train_hardening(args):
                               frame_ids=frame_ids),
         adv=AdvSynthConfig(norm_type=args.norm_type, steps=args.step,
                            attack_batch_size=args.attack_batch_size,
-                           attack_crop_w=args.attack_crop_w),
+                           attack_crop_w=args.attack_crop_w,
+                           attack_crop_h=args.attack_crop_h),
         supervised_adv=args.supervised_adv and adv_train,
         contrastive_learning=args.contrastive_learning and adv_train,
         learning_rate=args.lr, batch_size=args.batch_size,
@@ -446,6 +448,8 @@ def _add_perf_args(p):
     p.add_argument("--attack-crop-w", type=int, default=None,
                    help="width-cropped attack objective "
                         "(attacks/base.py); None = full frame")
+    p.add_argument("--attack-crop-h", type=int, default=None,
+                   help="height companion to --attack-crop-w")
     p.add_argument("--s2d-stem", action="store_true",
                    help="exact space-to-depth stem conv rewrite")
     p.add_argument("--fuse-upconv", action="store_true",

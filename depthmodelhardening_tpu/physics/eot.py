@@ -472,27 +472,20 @@ class EoTCompositor:
         B = (d * X + e * (0.5 + y0) + f) / den - 0.5 - t_pad
         return sx, A, B, y0, x0
 
-    def composite_tiled_separable(self, scenes_model, obj, mask,
-                                  z0s, alphas, model_h: int, model_w: int,
-                                  tile_h: int = 256, tile_w: int = 256,
-                                  T: Optional[jnp.ndarray] = None):
-        """Separable-warp fast path of composite_tiled_model.
-
-        Numerically equal to the 2-D bilinear tile warp (the b=h=0
-        factorization is exact, see _separable_geometry) but TPU-shaped:
-        pass 1 (horizontal resample) is one MXU matmul over all EoT
-        samples, pass 2 (per-column vertical resample) is a VMEM-resident
-        Pallas kernel whose custom VJP gives the EXACT texture adjoint as
-        a mirrored kernel (ops/pallas_warp.py) — no gathers, no scatters.
-        """
+    def _tiled_separable(self, scenes_model, textures, mask,
+                         z0s, alphas, model_h: int, model_w: int,
+                         tile_h: int, tile_w: int,
+                         T: Optional[jnp.ndarray]):
+        """Separable-warp core: warp any number of textures + the mask
+        in ONE pass (channel concat) and composite each texture against
+        the scene. Returns ([comp_per_texture], mask_full)."""
         from ..ops.pallas_warp import vertical_resample
 
-        B = z0s.shape[0]
-        C = obj.shape[-1]
         oh, ow = self.cfg.obj_h, self.cfg.obj_w
         sx_f = model_w / self.cfg.scene_w
         sy_f = model_h / self.cfg.scene_h
         dtype = scenes_model.dtype
+        chans = [t.shape[-1] for t in textures]
 
         def geom(z0, alpha, T_b):
             return self._separable_geometry(z0, alpha, T_b, sx_f, sy_f,
@@ -511,8 +504,10 @@ class EoTCompositor:
         Wx = jnp.maximum(0.0, 1.0 - jnp.abs(sxs[:, None, :] - j))
         Wx = jax.lax.stop_gradient(Wx).astype(dtype)
 
+        lead = max(t.shape[0] for t in textures)
         stacked = jnp.concatenate(
-            [obj, jnp.broadcast_to(mask, obj.shape[:-1] + (1,))],
+            [jnp.broadcast_to(t, (lead,) + t.shape[1:]) for t in textures]
+            + [jnp.broadcast_to(mask, (lead, oh, ow, 1))],
             axis=-1).astype(dtype)
         if stacked.shape[0] == 1:
             inter = jnp.einsum("kjc,bjx->bckx", stacked[0], Wx,
@@ -525,21 +520,61 @@ class EoTCompositor:
         inter = inter.astype(dtype)
 
         tiles = vertical_resample(inter, As, Bs, tile_h)
-        tiles = tiles.transpose(0, 2, 3, 1)  # (B, TH, TW, C+1)
+        tiles = tiles.transpose(0, 2, 3, 1)  # (B, TH, TW, sum(C)+1)
 
         def paste(scene_b, tile_b, y0, x0):
-            obj_t, m_t = tile_b[..., :C], tile_b[..., C:]
+            m_t = tile_b[..., -1:]
             start = (y0.astype(jnp.int32), x0.astype(jnp.int32), 0)
             scene_t = jax.lax.dynamic_slice(
                 scene_b, start, (tile_h, tile_w, scene_b.shape[-1]))
-            comp_t = scene_t * (1.0 - m_t) + obj_t * m_t
-            adv = jax.lax.dynamic_update_slice(scene_b, comp_t, start)
+            comps = []
+            off = 0
+            for c in chans:
+                obj_t = tile_b[..., off:off + c]
+                off += c
+                comp_t = scene_t * (1.0 - m_t) + obj_t * m_t
+                comps.append(jax.lax.dynamic_update_slice(
+                    scene_b, comp_t, start))
             mask_full = jax.lax.dynamic_update_slice(
                 jnp.zeros(scene_b.shape[:2] + (1,), m_t.dtype), m_t,
                 start)
-            return adv, mask_full
+            return tuple(comps), mask_full
 
-        return jax.vmap(paste)(scenes_model, tiles, y0s, x0s)
+        comps, mask_full = jax.vmap(paste)(scenes_model, tiles, y0s,
+                                           x0s)
+        return list(comps), mask_full
+
+    def composite_tiled_separable(self, scenes_model, obj, mask,
+                                  z0s, alphas, model_h: int, model_w: int,
+                                  tile_h: int = 256, tile_w: int = 256,
+                                  T: Optional[jnp.ndarray] = None):
+        """Separable-warp fast path of composite_tiled_model.
+
+        Numerically equal to the 2-D bilinear tile warp (the b=h=0
+        factorization is exact, see _separable_geometry) but TPU-shaped:
+        pass 1 (horizontal resample) is one MXU matmul over all EoT
+        samples, pass 2 (per-column vertical resample) is a VMEM-resident
+        Pallas kernel whose custom VJP gives the EXACT texture adjoint as
+        a mirrored kernel (ops/pallas_warp.py) — no gathers, no scatters.
+        """
+        comps, mask_full = self._tiled_separable(
+            scenes_model, (obj,), mask, z0s, alphas, model_h, model_w,
+            tile_h, tile_w, T)
+        return comps[0], mask_full
+
+    def composite_tiled_pair(self, scenes_model, obj_a, obj_b, mask,
+                             z0s, alphas, model_h: int, model_w: int,
+                             tile_h: int = 256, tile_w: int = 256,
+                             T: Optional[jnp.ndarray] = None):
+        """Composite TWO textures (e.g. adversarial + benign) against
+        the same scenes/mask/EoT samples in a single separable warp —
+        the finals of every object attack and the current-frame pair of
+        the training synthesis share homographies, so warping stacked
+        channels halves the warp work. Returns (comp_a, comp_b, mask)."""
+        comps, mask_full = self._tiled_separable(
+            scenes_model, (obj_a, obj_b), mask, z0s, alphas,
+            model_h, model_w, tile_h, tile_w, T)
+        return comps[0], comps[1], mask_full
 
     def composite_tiled_model(self, scenes_model, obj, mask, z0s, alphas,
                               model_h: int, model_w: int,

@@ -117,9 +117,12 @@ def synthesize_adv_batch(
             scene, tex, obj_mask, z0s, alphas, model_h=oh_, model_w=ow_,
             tile_h=th, tile_w=tw, T=T)
 
-    cur_adv, mask_cur = tiled(frames["0"], obj_adv, T_cur)
+    # the current frame's adversarial + benign composites share the
+    # scene and extrinsic — one stacked separable warp does both
+    cur_adv, cur_ben, mask_ben_cur = eot.composite_tiled_pair(
+        frames["0"], obj_adv, obj_ben, obj_mask, z0s, alphas,
+        model_h=oh_, model_w=ow_, tile_h=th, tile_w=tw, T=T_cur)
     oth_ben, mask_oth = tiled(frames["s"], obj_ben, T_oth)
-    cur_ben, mask_ben_cur = tiled(frames["0"], obj_ben, T_cur)
 
     if adv_cfg.half_no_synthesis:
         synth = jax.random.bernoulli(k_half, 0.5, (B,))

@@ -67,6 +67,7 @@ class AdvSynthConfig:
     # width-cropped attack objective (attacks/base.py attack_crop_w):
     # None = reference full-frame model pass in the PGD loop
     attack_crop_w: Optional[int] = None
+    attack_crop_h: Optional[int] = None
     # EoT warp tile size (attacks/base.py tile_h/tile_w)
     tile_h: int = 256
     tile_w: int = 256
@@ -129,6 +130,7 @@ class DistillConfig:
     compute_dtype: str = "float32"
     obj_name: str = "BMW"
     attack_crop_w: Optional[int] = None
+    attack_crop_h: Optional[int] = None
     tile_h: int = 256
     tile_w: int = 256
     s2d_stem: bool = False

@@ -55,7 +55,8 @@ def build_attack(cfg: DistillConfig, predict_fn, obj_img, obj_mask):
         ori_h=cfg.ori_h, ori_w=cfg.ori_w,
         eval_pin_z0=6.1 if cfg.adv_type == "object_l0" else 7.0,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-        attack_crop_w=cfg.attack_crop_w)
+        attack_crop_w=cfg.attack_crop_w,
+        attack_crop_h=cfg.attack_crop_h)
     if cfg.adv_type == "object":
         return PGDObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,
                                eps=cfg.epsilon, alpha=cfg.alpha,

@@ -130,7 +130,8 @@ class HardeningTrainer:
             scene_h=ss.height, scene_w=ss.width,
             ori_h=cfg.adv.ori_h, ori_w=cfg.adv.ori_w,
             tile_h=cfg.adv.tile_h, tile_w=cfg.adv.tile_w,
-            attack_crop_w=cfg.adv.attack_crop_w)
+            attack_crop_w=cfg.adv.attack_crop_w,
+            attack_crop_h=cfg.adv.attack_crop_h)
         if cfg.adv.norm_type == "l_inf":
             self.attack = PGDObjectAttack(
                 student_predict, obj_img, obj_mask, atk_cfg,

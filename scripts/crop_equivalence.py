@@ -57,8 +57,11 @@ def main():
         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W)
 
     results = {}
-    for crop in (None, 512):
-        cfg = dataclasses.replace(base, attack_crop_w=crop)
+    for crop_w, crop_h in ((None, None), (512, None), (512, 256),
+                           (384, 256)):
+        crop = f"{crop_w}x{crop_h}"
+        cfg = dataclasses.replace(base, attack_crop_w=crop_w,
+                                  attack_crop_h=crop_h)
         atk = PGDObjectAttack(predictor.apply_fn, jnp.asarray(obj),
                               jnp.asarray(mask), cfg,
                               eps=0.1, alpha=0.005, steps=10)
@@ -71,16 +74,20 @@ def main():
             errs = _batch_metrics(predictor, adv, ben, masks)
             rows.append(np.asarray(jnp.stack(errs)))
         rows = np.stack(rows)
-        results[str(crop)] = dict(zip(METRIC_NAMES,
-                                      rows.mean(axis=0).tolist()))
+        results[crop] = dict(zip(METRIC_NAMES,
+                                 rows.mean(axis=0).tolist()))
 
     print(json.dumps(results, indent=2))
-    full, crop = results["None"], results["512"]
-    print("\n| metric | full-frame | crop 512 | ratio |")
-    print("|---|---|---|---|")
+    full = results["NonexNone"]
+    cols = [k for k in results if k != "NonexNone"]
+    print("\n| metric | full-frame | " +
+          " | ".join(f"crop {c}" for c in cols) + " |")
+    print("|---" * (2 + len(cols)) + "|")
     for k in METRIC_NAMES:
-        r = crop[k] / full[k] if full[k] else float("nan")
-        print(f"| {k} | {full[k]:.4f} | {crop[k]:.4f} | {r:.3f} |")
+        vals = " | ".join(
+            f"{results[c][k]:.4f} ({results[c][k]/full[k]:.2f}x)"
+            if full[k] else "nan" for c in cols)
+        print(f"| {k} | {full[k]:.4f} | {vals} |")
 
 
 if __name__ == "__main__":

@@ -182,3 +182,37 @@ def test_attack_crop_w_cost_and_effectiveness(tiny, scene):
     cost_adv = float(jnp.mean((d_adv * masks_out) ** 2))
     cost_ben = float(jnp.mean((d_ben * masks_out) ** 2))
     assert cost_adv <= cost_ben + 1e-7
+
+
+def test_attack_crop_rect_cost_parity(tiny, scene):
+    """attack_crop_h x attack_crop_w rectangular crop: the rescaled
+    cost matches the full-frame objective and invalid heights are
+    rejected like invalid widths."""
+    import dataclasses
+
+    from depthmodelhardening_tpu.data.synthetic import make_car_object
+
+    obj, mask = make_car_object(width=OBJ_W, height=OBJ_H, seed=3)
+    cfg = PhysObjAttackConfig(obj_h=OBJ_H, obj_w=OBJ_W, scene_h=96,
+                              scene_w=320, ori_h=375, ori_w=1242,
+                              tile_h=64, tile_w=128)
+    cfg_rect = dataclasses.replace(cfg, attack_crop_w=160,
+                                   attack_crop_h=64)
+
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, attack_crop_h=32)  # < tile_h
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, attack_crop_h=65)  # not 32-aligned
+
+    full = PGDObjectAttack(tiny.predict, obj, mask, cfg,
+                           eps=0.1, alpha=0.05, steps=2)
+    rect = PGDObjectAttack(tiny.predict, obj, mask, cfg_rect,
+                           eps=0.1, alpha=0.05, steps=2)
+
+    rng = jax.random.PRNGKey(0)
+    scenes = jnp.broadcast_to(scene, (2,) + scene.shape[1:])
+    z0s, alphas = full._sample_za(rng, 2)
+    adv_scenes, masks = full._model_view(scenes, obj, z0s, alphas)
+    c_full = full._targeted_cost(tiny.variables, adv_scenes, masks)
+    c_rect = rect._targeted_cost(tiny.variables, adv_scenes, masks)
+    assert abs(float(c_full) - float(c_rect)) / float(c_full) < 0.05

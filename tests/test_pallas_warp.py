@@ -180,3 +180,22 @@ def test_separable_per_sample_objects(eot, data):
         adjoint_mode="scatter", **kw)
     np.testing.assert_allclose(np.asarray(adv_s), np.asarray(adv_r),
                                atol=1e-4)
+
+
+def test_composite_tiled_pair_matches_two_singles(eot, data):
+    """One stacked warp for (adv, benign) equals two single composites."""
+    rng = np.random.RandomState(4)
+    obj_b = jnp.asarray(rng.rand(1, OH, OW, 3).astype(np.float32))
+    kw = dict(model_h=MH, model_w=MW, **TILE)
+    a2, b2, m2 = eot.composite_tiled_pair(
+        data["scenes"], data["obj"], obj_b, data["mask"], data["z0s"],
+        data["alphas"], **kw)
+    a1, m1 = eot.composite_tiled_separable(
+        data["scenes"], data["obj"], data["mask"], data["z0s"],
+        data["alphas"], **kw)
+    b1, _ = eot.composite_tiled_separable(
+        data["scenes"], obj_b, data["mask"], data["z0s"],
+        data["alphas"], **kw)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-5)
