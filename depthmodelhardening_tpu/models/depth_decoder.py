@@ -39,7 +39,11 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        from ..ops.padding import reflect_pad1
+
+        # slice-add pad adjoint: XLA's reflect-pad VJP is ~2-3x the
+        # conv's own backward on TPU (ops/padding.py)
+        x = reflect_pad1(x)
         return nn.Conv(self.features, (3, 3), padding="VALID",
                        dtype=self.dtype, name="conv")(x)
 
@@ -97,7 +101,9 @@ class _ConvBlockParams(nn.Module):
 
 
 def _reflect_conv3x3(x, kernel, dtype):
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    from ..ops.padding import reflect_pad1
+
+    xp = reflect_pad1(x)
     return jax.lax.conv_general_dilated(
         xp.astype(dtype), kernel.astype(dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

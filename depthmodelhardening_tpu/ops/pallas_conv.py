@@ -169,7 +169,9 @@ def conv3x3_reflect(x, k, bias=None, use_pallas: bool = False):
 
     Dispatches to the pallas kernel on TPU for stride-1 small-C maps;
     jnp/XLA elsewhere. x: (B, H, W, Cin) -> (B, H, W, Co)."""
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    from .padding import reflect_pad1
+
+    xp = reflect_pad1(x)
     small_c = x.shape[-1] <= 64 and k.shape[-1] <= 64
     aligned = x.shape[1] % 8 == 0 and x.shape[2] % 128 == 0
     from .dispatch import pallas_available

@@ -19,7 +19,11 @@ _C2 = 0.03 ** 2
 
 
 def _reflect_pad1(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    # slice-add pad adjoint (ops/padding.py): XLA's reflect-pad VJP is
+    # scatter-grade slow on TPU and this pad sits in the loss backward
+    from .padding import reflect_pad1
+
+    return reflect_pad1(x)
 
 
 def _mean_pool3(x):

@@ -27,13 +27,19 @@ STAGES = [
 ]
 
 
+def _sync(out):
+    """block_until_ready does not reliably sync through the axon
+    tunnel; a host transfer does (cf. bench.py)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
 def timeit(f, *args, n=20):
-    out = f(*args)
-    jax.block_until_ready(out)
+    _sync(f(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n * 1000
 
 
@@ -41,6 +47,14 @@ def conv_reflect(x, k):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     return jax.lax.conv_general_dilated(
         xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv_reflect_custom(x, k):
+    from depthmodelhardening_tpu.ops.padding import reflect_pad1
+
+    return jax.lax.conv_general_dilated(
+        reflect_pad1(x), k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -66,6 +80,7 @@ def main():
         x = jax.random.normal(key, (B, H, W, Cin), DT)
         k = jax.random.normal(key, (3, 3, Cin, Cout), DT)
         for label, fn in (("reflect", conv_reflect),
+                          ("reflect-cvjp", conv_reflect_custom),
                           ("same-zero", conv_same),
                           ("im2col", conv_im2col)):
             f = jax.jit(fn)

@@ -123,14 +123,20 @@ def sep_warp(obj, z0s, alphas, pass2: str = "take"):
     return jax.vmap(one)(z0s, alphas)
 
 
+def _sync(out):
+    """host transfer: block_until_ready does not reliably sync through
+    the axon tunnel (cf. bench.py)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def bench(fn, args, iters=20, name=""):
     f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
+    _sync(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{name:42s} {dt:8.2f} ms")
     return dt

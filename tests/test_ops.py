@@ -270,3 +270,25 @@ def test_compute_depth_losses_median_scaled():
     m2 = compute_depth_losses(pred, jnp.asarray(gt2))
     np.testing.assert_allclose(float(m2["de/abs_rel"]),
                                float(m["de/abs_rel"]), atol=1e-6)
+
+
+def test_reflect_pad1_custom_vjp_exact():
+    """ops/padding.py: forward equals jnp.pad(reflect) and the slice-add
+    adjoint equals the autodiff of jnp.pad — at several shapes incl. the
+    minimal 2x2."""
+    import jax
+
+    from depthmodelhardening_tpu.ops.padding import reflect_pad1
+
+    rng = np.random.RandomState(0)
+    for (h, w) in ((2, 2), (5, 4), (6, 7)):
+        x = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
+        ref = lambda x: jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                mode="reflect")
+        np.testing.assert_allclose(np.asarray(reflect_pad1(x)),
+                                   np.asarray(ref(x)))
+        g = jnp.asarray(rng.rand(2, h + 2, w + 2, 3).astype(np.float32))
+        d_c = jax.grad(lambda x: jnp.sum(reflect_pad1(x) * g))(x)
+        d_r = jax.grad(lambda x: jnp.sum(ref(x) * g))(x)
+        np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_r),
+                                   atol=1e-6)
