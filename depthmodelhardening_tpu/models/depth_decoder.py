@@ -39,13 +39,14 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.padding import reflect_pad1
+        from ..ops.padding import conv3x3_reflect_same
 
-        # slice-add pad adjoint: XLA's reflect-pad VJP is ~2-3x the
-        # conv's own backward on TPU (ops/padding.py)
-        x = reflect_pad1(x)
-        return nn.Conv(self.features, (3, 3), padding="VALID",
-                       dtype=self.dtype, name="conv")(x)
+        # exact SAME-conv + border-correction decomposition: keeps the
+        # conv on XLA's fused path instead of materializing a reflect-
+        # padded tensor whose autodiff is scatter-grade (ops/padding.py)
+        kernel, bias = _ConvParams(self.features, x.shape[-1],
+                                   name="conv")()
+        return conv3x3_reflect_same(x, kernel, bias, dtype=self.dtype)
 
 
 class ConvBlock(nn.Module):
@@ -101,12 +102,9 @@ class _ConvBlockParams(nn.Module):
 
 
 def _reflect_conv3x3(x, kernel, dtype):
-    from ..ops.padding import reflect_pad1
+    from ..ops.padding import conv3x3_reflect_same
 
-    xp = reflect_pad1(x)
-    return jax.lax.conv_general_dilated(
-        xp.astype(dtype), kernel.astype(dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return conv3x3_reflect_same(x, kernel, dtype=dtype)
 
 
 class DepthDecoder(nn.Module):

@@ -58,6 +58,12 @@ def conv_reflect_custom(x, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def conv_reflect_same_decomp(x, k):
+    from depthmodelhardening_tpu.ops.padding import conv3x3_reflect_same
+
+    return conv3x3_reflect_same(x, k)
+
+
 def conv_same(x, k):
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), "SAME",
@@ -79,10 +85,9 @@ def main():
     for name, H, W, Cin, Cout in STAGES:
         x = jax.random.normal(key, (B, H, W, Cin), DT)
         k = jax.random.normal(key, (3, 3, Cin, Cout), DT)
-        for label, fn in (("reflect", conv_reflect),
-                          ("reflect-cvjp", conv_reflect_custom),
-                          ("same-zero", conv_same),
-                          ("im2col", conv_im2col)):
+        for label, fn in (("reflect-cvjp", conv_reflect_custom),
+                          ("reflect-decomp", conv_reflect_same_decomp),
+                          ("same-zero", conv_same)):
             f = jax.jit(fn)
             fwd = timeit(f, x, k)
 

@@ -281,7 +281,7 @@ def test_reflect_pad1_custom_vjp_exact():
     from depthmodelhardening_tpu.ops.padding import reflect_pad1
 
     rng = np.random.RandomState(0)
-    for (h, w) in ((2, 2), (5, 4), (6, 7)):
+    for (h, w) in ((1, 1), (1, 3), (2, 2), (5, 4), (6, 7)):
         x = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
         ref = lambda x: jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                                 mode="reflect")
@@ -292,3 +292,39 @@ def test_reflect_pad1_custom_vjp_exact():
         d_r = jax.grad(lambda x: jnp.sum(ref(x) * g))(x)
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_r),
                                    atol=1e-6)
+
+
+def test_conv3x3_reflect_same_decomposition_exact():
+    """ops/padding.py conv3x3_reflect_same == reflect-pad + VALID conv,
+    including corners, at several shapes."""
+    import jax
+
+    from depthmodelhardening_tpu.ops.padding import (
+        conv3x3_reflect_same, reflect_pad1,
+    )
+
+    rng = np.random.RandomState(1)
+    P = jax.lax.Precision.HIGHEST
+    for (h, w, ci, co) in ((1, 1, 3, 2), (1, 4, 3, 2), (2, 2, 3, 2),
+                           (5, 7, 4, 3), (8, 6, 2, 5)):
+        x = jnp.asarray(rng.rand(2, h, w, ci).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            reflect_pad1(x), k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=P)
+        got = conv3x3_reflect_same(x, k, precision=P)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+        # gradient parity (input + kernel)
+        g = jnp.asarray(rng.rand(*ref.shape).astype(np.float32))
+        dref = jax.grad(lambda x, k: jnp.sum(jax.lax.conv_general_dilated(
+            reflect_pad1(x), k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=P) * g),
+            argnums=(0, 1))(x, k)
+        dgot = jax.grad(lambda x, k: jnp.sum(
+            conv3x3_reflect_same(x, k, precision=P) * g),
+            argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(dgot[0]),
+                                   np.asarray(dref[0]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dgot[1]),
+                                   np.asarray(dref[1]), atol=2e-5)
