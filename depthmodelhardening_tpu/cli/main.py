@@ -211,17 +211,18 @@ def cmd_train_distill(args):
     def run_val(epoch):
         if val_set is None:
             return
+        from ..evaluation.attack_eval import (
+            AttackEvalConfig, iter_eval_scenes,
+        )
         from ..training.distill import eval_atk_perf
 
-        def scenes_iter():
-            n = len(val_set)
-            idx = 42 % n  # start_idx (simple_adv_training.py:65)
-            for _ in range(args.eval_count):
-                yield jnp.asarray(val_set[idx % n][0])[None]
-                idx += 1
-
+        # single scenes from start_idx=42, replicated by the attack
+        # (simple_adv_training.py:64-74)
+        scenes_iter = iter_eval_scenes(
+            val_set, AttackEvalConfig(), batch_size=1,
+            count=args.eval_count)
         model_perf, atk_perf = eval_atk_perf(
-            trainer, state, scenes_iter(),
+            trainer, state, scenes_iter,
             jax.random.PRNGKey(17), logger=logger, epoch=epoch)
         logger.log(step, {"eval/model_perf": model_perf,
                           "eval/atk_perf": atk_perf})

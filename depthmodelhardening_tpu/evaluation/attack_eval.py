@@ -194,14 +194,18 @@ def evaluate_attacks(predictor, attack, scenes_iter: Iterable,
     }
 
 
-def iter_eval_scenes(dataset, cfg: AttackEvalConfig):
+def iter_eval_scenes(dataset, cfg: AttackEvalConfig,
+                     batch_size: int = None, count: int = None):
     """Scene batches from KittiObjectScenes starting at start_idx
     (evaluate_depth.py:154-171: sequential val batches, no shuffle).
-    Indices wrap for datasets smaller than start_idx + count*batch."""
+    Indices wrap for datasets smaller than start_idx + count*batch.
+    batch_size/count override cfg (e.g. the distill per-epoch eval
+    loads single scenes the attack then replicates,
+    simple_adv_training.py:64-74)."""
     n = len(dataset)
+    bs = cfg.batch_size if batch_size is None else batch_size
     idx = cfg.start_idx % n
-    for _ in range(cfg.eval_count):
-        imgs = [dataset[(idx + j) % n][0]
-                for j in range(cfg.batch_size)]
-        idx += cfg.batch_size
+    for _ in range(cfg.eval_count if count is None else count):
+        imgs = [dataset[(idx + j) % n][0] for j in range(bs)]
+        idx += bs
         yield np.stack(imgs)

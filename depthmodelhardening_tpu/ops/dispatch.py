@@ -19,6 +19,12 @@ def set_pallas_enabled(on: bool) -> None:
     _pallas_enabled = bool(on)
 
 
+def pallas_enabled() -> bool:
+    """Current state of the switch (for save/restore around code that
+    temporarily runs on a non-default platform)."""
+    return _pallas_enabled
+
+
 def pallas_available() -> bool:
     """True when pallas TPU kernels may be emitted into the current
     computation: the switch is on and the default backend is TPU."""

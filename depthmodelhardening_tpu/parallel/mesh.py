@@ -23,16 +23,23 @@ _HOST_COUNT_FLAG = "xla_force_host_platform_device_count"
 
 
 def set_host_device_count_flag(n_devices: int) -> None:
-    """Request n virtual CPU devices via XLA_FLAGS.
+    """Request >= n virtual CPU devices via XLA_FLAGS.
 
     Must run before the CPU backend initializes (any jax.devices() /
-    first trace initializes ALL registered backends); a no-op if the
-    flag is already present.
+    first trace initializes ALL registered backends). A preset flag is
+    RAISED to n_devices when smaller (a substring-presence check alone
+    would silently keep a too-small value and defeat the request).
     """
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if _HOST_COUNT_FLAG not in flags:
+    m = re.search(rf"--{_HOST_COUNT_FLAG}=(\d+)", flags)
+    if m is None:
         os.environ["XLA_FLAGS"] = (
             flags + f" --{_HOST_COUNT_FLAG}={n_devices}").strip()
+    elif int(m.group(1)) < n_devices:
+        os.environ["XLA_FLAGS"] = flags.replace(
+            m.group(0), f"--{_HOST_COUNT_FLAG}={n_devices}")
 
 
 def ensure_virtual_cpu_devices(n_devices: int) -> list:
@@ -75,6 +82,12 @@ def make_mesh(n_devices: Optional[int] = None,
                     f"requested a {n_devices}-device mesh but only "
                     f"{len(devices)} devices are visible")
             devices = ensure_virtual_cpu_devices(n_devices)
+            # the computation now targets CPU devices while the frozen
+            # default backend may still say "tpu" — TPU pallas kernels
+            # must not be emitted into the CPU-mesh program
+            from ..ops.dispatch import set_pallas_enabled
+
+            set_pallas_enabled(False)
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
@@ -97,9 +110,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     autodetect from the metadata server / TPU env vars; elsewhere pass
     coordinator_address ("host:port"), num_processes and process_id.
     Returns True when the distributed runtime is up (or already was).
-    With required=False (default) a single-host environment simply
-    returns False instead of raising, so call sites can share code
-    between single- and multi-host launches.
+    With required=False (default) an AUTODETECT failure (no coordinator
+    in the environment, i.e. a single-host launch) returns False so
+    call sites can share code between single- and multi-host launches.
+    Explicit coordinator arguments signal multi-host intent and always
+    raise on failure — silently degrading such a launch would train N
+    unsynchronized single-host copies.
     """
     try:
         if jax.distributed.is_initialized():
@@ -111,6 +127,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         kwargs.update(coordinator_address=coordinator_address,
                       num_processes=num_processes,
                       process_id=process_id)
+        required = True
     try:
         jax.distributed.initialize(**kwargs)
         return True

@@ -423,14 +423,15 @@ class HardeningTrainer:
         from ..models.wrappers import DepthPredictor
 
         if eval_cfg is None:
-            eval_cfg = getattr(self, "_eval_cfg", None) or \
-                self.default_eval_cfg()
-        if getattr(self, "_eval_cfg", None) != eval_cfg:
-            self._eval_cfg = eval_cfg
-            self._eval_attack = build_attack(
+            eval_cfg = self.default_eval_cfg()
+        cache = getattr(self, "_eval_attacks", None)
+        if cache is None:
+            cache = self._eval_attacks = {}
+        attack = cache.get(eval_cfg)
+        if attack is None:
+            attack = cache[eval_cfg] = build_attack(
                 eval_cfg, self._student_predict, self.obj_img,
                 self.obj_mask)
-        attack = self._eval_attack
         predictor = DepthPredictor(apply_fn=self._student_predict,
                                    variables=self.student_variables(state))
         return evaluate_attacks(predictor, attack, scenes_iter,

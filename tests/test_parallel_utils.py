@@ -136,3 +136,49 @@ def test_make_mesh_provisions_virtual_cpu_devices():
     host devices, so this exercises the happy path end-to-end)."""
     mesh = make_mesh(8)
     assert mesh.devices.size == 8
+
+
+def test_set_host_device_count_flag_raises_preset_value():
+    """A preset smaller count must be raised, not silently kept."""
+    import os
+
+    from depthmodelhardening_tpu.parallel.mesh import (
+        set_host_device_count_flag,
+    )
+
+    old = os.environ.get("XLA_FLAGS")
+    try:
+        os.environ["XLA_FLAGS"] = \
+            "--foo=1 --xla_force_host_platform_device_count=4"
+        set_host_device_count_flag(8)
+        assert "--xla_force_host_platform_device_count=8" in \
+            os.environ["XLA_FLAGS"]
+        # larger preset values are kept
+        set_host_device_count_flag(2)
+        assert "--xla_force_host_platform_device_count=8" in \
+            os.environ["XLA_FLAGS"]
+        # absent flag is appended
+        os.environ["XLA_FLAGS"] = "--foo=1"
+        set_host_device_count_flag(6)
+        assert "--xla_force_host_platform_device_count=6" in \
+            os.environ["XLA_FLAGS"]
+    finally:
+        if old is None:
+            os.environ.pop("XLA_FLAGS", None)
+        else:
+            os.environ["XLA_FLAGS"] = old
+
+
+def test_initialize_distributed_explicit_args_raise():
+    """Explicit coordinator args signal multi-host intent: failures
+    must raise instead of silently degrading to single-host."""
+    import pytest
+
+    from depthmodelhardening_tpu.parallel.mesh import (
+        initialize_distributed,
+    )
+
+    with pytest.raises(Exception):
+        initialize_distributed(
+            coordinator_address="256.256.256.256:1",
+            num_processes=2, process_id=5)
