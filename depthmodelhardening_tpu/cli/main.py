@@ -297,13 +297,19 @@ def cmd_train_hardening(args):
     adv_train = not args.no_adv_train
     cfg = HardeningConfig(
         selfsup=SelfSupConfig(height=args.height, width=args.width,
-                              frame_ids=frame_ids),
+                              frame_ids=frame_ids,
+                              avg_reprojection=args.avg_reprojection,
+                              disable_automasking=args.disable_automasking,
+                              v1_multiscale=args.v1_multiscale),
         adv=AdvSynthConfig(norm_type=args.norm_type, steps=args.step,
                            attack_batch_size=args.attack_batch_size,
                            attack_crop_w=args.attack_crop_w,
-                           attack_crop_h=args.attack_crop_h),
+                           attack_crop_h=args.attack_crop_h,
+                           half_no_synthesis=args.half_no_synthesis),
         supervised_adv=args.supervised_adv and adv_train,
         contrastive_learning=args.contrastive_learning and adv_train,
+        no_original_train=args.no_original_train,
+        gt_depth=args.gt_depth,
         learning_rate=args.lr, batch_size=args.batch_size,
         compute_dtype=args.compute_dtype,
         use_depth_hints=args.use_depth_hints,
@@ -561,6 +567,19 @@ def build_parser():
     ph.add_argument("--contrastive-learning",
                     action=argparse.BooleanOptionalAction, default=True)
     ph.add_argument("--use-depth-hints", action="store_true")
+    ph.add_argument("--gt-depth", action="store_true",
+                    help="supervised branch composites the object's "
+                         "true distance inside its mask "
+                         "(options.py:227-229, trainer.py:546-565)")
+    ph.add_argument("--half-no-synthesis", action="store_true",
+                    help="keep a random half of each batch raw "
+                         "(options.py:153-156)")
+    ph.add_argument("--no-original-train", action="store_true",
+                    help="drop the self-supervised loss "
+                         "(options.py:150-152)")
+    ph.add_argument("--avg-reprojection", action="store_true")
+    ph.add_argument("--disable-automasking", action="store_true")
+    ph.add_argument("--v1-multiscale", action="store_true")
     ph.add_argument("--no-adv-train", action="store_true",
                     help="vanilla self-supervised training (the "
                          "reference trainer with adv_train off)")

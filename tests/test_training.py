@@ -363,3 +363,43 @@ def test_fine_tune_init_starts_student_at_pretrained():
     d_teacher = teacher.apply_fn(tvars, x)
     np.testing.assert_allclose(np.asarray(d_student),
                                np.asarray(d_teacher), atol=0)
+
+
+@pytest.mark.slow
+def test_hardening_recipe_variant_flags():
+    """gt_depth + half_no_synthesis and no_original_train variants run a
+    full step with finite losses (options.py:150-156, 227-229;
+    trainer.py:546-565 composite pseudo-depth)."""
+    H, W = 64, 192
+    model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W)
+    teacher = predictor_from(model, tvars)
+    obj, mask = make_car_object(24, 16, seed=0)
+
+    def run(**kw):
+        cfg = HardeningConfig(
+            selfsup=SelfSupConfig(height=H, width=W,
+                                  frame_ids=("0", "s")),
+            adv=AdvSynthConfig(norm_type="l_inf", steps=1,
+                               attack_batch_size=2, ori_h=96, ori_w=320,
+                               half_no_synthesis=kw.pop(
+                                   "half_no_synthesis", False)),
+            batch_size=2, compute_dtype="float32", **kw)
+        trainer = HardeningTrainer(cfg, jax.random.PRNGKey(1), obj,
+                                   mask, teacher=teacher,
+                                   steps_per_epoch=10)
+        state = trainer.make_state()
+        frames = {"0": jnp.asarray(make_scene(2, 96, 320, seed=2)),
+                  "s": jnp.asarray(make_scene(2, 96, 320, seed=3))}
+        state, metrics = trainer.train_step(
+            state, frames, jnp.ones((2,), bool), jnp.zeros((2,), bool),
+            jnp.asarray(make_scene(2, 96, 320, seed=4)),
+            jax.random.PRNGKey(5))
+        return metrics
+
+    m = run(gt_depth=True, half_no_synthesis=True)
+    assert np.isfinite(float(m["loss"]))
+    assert "sup_loss" in m and np.isfinite(float(m["sup_loss"]))
+
+    m = run(no_original_train=True)
+    assert np.isfinite(float(m["loss"]))
+    assert "selfsup_loss" not in m  # self-supervised branch dropped
