@@ -314,6 +314,7 @@ def cmd_train_hardening(args):
         compute_dtype=args.compute_dtype,
         use_depth_hints=args.use_depth_hints,
         model_family=args.model_family,
+        manydepth_real_lookup=args.manydepth_real_lookup,
         s2d_stem=args.s2d_stem, fuse_upconv=args.fuse_upconv)
 
     lines = load_split(args.split_dir, args.split, "train")
@@ -586,6 +587,11 @@ def build_parser():
     _add_perf_args(ph)
     ph.add_argument("--model-family", default="monodepth2",
                     choices=["monodepth2", "manydepth"])
+    ph.add_argument("--manydepth-real-lookup", action="store_true",
+                    help="build the cost volume from the real previous "
+                         "frame + pose-net pose instead of the "
+                         "reference's zero lookups (beyond-reference; "
+                         "needs monocular --frame-ids, e.g. -1,0,1,s)")
     ph.add_argument("--data-parallel", action="store_true")
     ph.add_argument("--log-dir", default="./logs/hardening")
     ph.add_argument("--log-frequency", type=int, default=25)

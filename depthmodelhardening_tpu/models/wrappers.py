@@ -229,6 +229,30 @@ class ManyDepthTrainModel(nn.Module):
         _, outputs = self.features_and_disps(x, train=train)
         return outputs[("disp", 0)]
 
+    # -- real-lookup training (beyond the reference) ----------------------
+    def encode_multi(self, x, lookup_frames, rel_poses,
+                     train: bool = False):
+        """Cost volume from REAL lookup frames + relative poses. The
+        reference hardening trainer always zeroes lookups
+        (manydepth2/trainer.py:345-386); this is the upstream-ManyDepth-
+        style training path (cfg.manydepth_real_lookup).
+        lookup_frames: (B, F, H, W, 3); rel_poses: (B, F, 4, 4)
+        current->lookup camera transforms (the selfsup warp convention,
+        training/selfsup.py)."""
+        B = x.shape[0]
+        K, invK = self._quarter_K(B)
+        features, _, _ = self.encoder(x, lookup_frames, rel_poses,
+                                      K, invK, train=train)
+        return features
+
+    def features_and_disps_multi(self, x, lookup_frames, rel_poses,
+                                 train: bool = False):
+        features = self.encode_multi(x, lookup_frames, rel_poses,
+                                     train=train)
+        outputs = self.decoder(features)
+        return features, {k: manydepth_rescale(v)
+                          for k, v in outputs.items()}
+
 
 def quarter_intrinsics(K_norm: jnp.ndarray, width: int, height: int):
     """Normalized 4x4 intrinsics -> 1/4-size unnormalized (K, invK),

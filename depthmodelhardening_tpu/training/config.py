@@ -107,6 +107,10 @@ class HardeningConfig:
     # (manydepth2/trainer.py:345-386)
     model_family: str = "monodepth2"
     manydepth_num_depth_bins: int = 96
+    # build the cost volume from the real previous frame + pose-net
+    # pose instead of the reference's zero lookups (beyond-reference;
+    # requires model_family="manydepth" and monocular frame_ids)
+    manydepth_real_lookup: bool = False
     # exact TPU conv rewrites (models/resnet.py s2d_stem,
     # models/depth_decoder.py fuse_upconv) — numerics identical
     s2d_stem: bool = False

@@ -86,6 +86,15 @@ class HardeningTrainer:
 
         ss = cfg.selfsup
         dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.manydepth_real_lookup:
+            if cfg.model_family != "manydepth":
+                raise ValueError(
+                    "manydepth_real_lookup requires "
+                    "model_family='manydepth'")
+            if not ss.use_pose_net:
+                raise ValueError(
+                    "manydepth_real_lookup needs monocular frame_ids "
+                    "(a previous frame + pose net supply the lookup)")
         if cfg.model_family == "manydepth":
             from ..models.wrappers import ManyDepthTrainModel
 
@@ -218,10 +227,28 @@ class HardeningTrainer:
 
         v = {"params": params["depth"],
              "batch_stats": batch_stats["depth"]}
-        (feats_aug, outs), mut = self.model.apply(
-            v, batch["color_aug"]["0"], train=True,
-            mutable=["batch_stats"],
-            method="features_and_disps")
+        poses = None
+        lookup = rel_poses = None
+        if cfg.manydepth_real_lookup:
+            # beyond-reference: cost volume from the real previous
+            # frame + pose-net pose (the reference zeroes lookups,
+            # manydepth2/trainer.py:345-386). Poses come first so the
+            # depth forward can consume them; attacks/eval stay
+            # single-frame (no temporal context at attack time).
+            poses, new_bs = self._predict_poses_mutable(
+                params, new_bs, batch["color_aug"])
+            fid = ss.temporal_source_ids[0]
+            lookup = batch["color_aug"][fid][:, None]
+            rel_poses = poses[fid][:, None]
+            (feats_aug, outs), mut = self.model.apply(
+                v, batch["color_aug"]["0"], lookup, rel_poses,
+                train=True, mutable=["batch_stats"],
+                method="features_and_disps_multi")
+        else:
+            (feats_aug, outs), mut = self.model.apply(
+                v, batch["color_aug"]["0"], train=True,
+                mutable=["batch_stats"],
+                method="features_and_disps")
         new_bs["depth"] = mut["batch_stats"]
         disps = {s: outs[("disp", s)] for s in ss.scales}
 
@@ -252,9 +279,17 @@ class HardeningTrainer:
         if cfg.contrastive_learning:
             v2 = {"params": params["depth"],
                   "batch_stats": new_bs["depth"]}
-            feats_ben, mut2 = self.model.apply(
-                v2, batch["color_ben"], train=True,
-                mutable=["batch_stats"], method="encode")
+            if cfg.manydepth_real_lookup:
+                # same encode path as the adversarial view (the
+                # temporal planes are benign in both views)
+                feats_ben, mut2 = self.model.apply(
+                    v2, batch["color_ben"], lookup, rel_poses,
+                    train=True, mutable=["batch_stats"],
+                    method="encode_multi")
+            else:
+                feats_ben, mut2 = self.model.apply(
+                    v2, batch["color_ben"], train=True,
+                    mutable=["batch_stats"], method="encode")
             new_bs["depth"] = mut2["batch_stats"]
             vss = {"params": params["simsiam"],
                    "batch_stats": batch_stats["simsiam"]}
@@ -267,10 +302,11 @@ class HardeningTrainer:
             total = total + contras
 
         if not cfg.no_original_train:
-            poses = {}
-            if self.use_pose:
-                poses, new_bs = self._predict_poses_mutable(
-                    params, new_bs, batch["color_aug"])
+            if poses is None:
+                poses = {}
+                if self.use_pose:
+                    poses, new_bs = self._predict_poses_mutable(
+                        params, new_bs, batch["color_aug"])
             if cfg.use_depth_hints:
                 from .depth_hints import compute_depth_hints_losses
 

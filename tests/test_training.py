@@ -403,3 +403,51 @@ def test_hardening_recipe_variant_flags():
     m = run(no_original_train=True)
     assert np.isfinite(float(m["loss"]))
     assert "selfsup_loss" not in m  # self-supervised branch dropped
+
+
+@pytest.mark.slow
+def test_manydepth_real_lookup_training_step():
+    """Beyond-reference real-lookup ManyDepth training: the cost volume
+    consumes the actual previous frame + pose-net pose (the reference
+    zeroes lookups, manydepth2/trainer.py:345-386); one full step must
+    run with finite losses and update encoder params."""
+    H, W = 64, 192
+    model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W)
+    teacher = predictor_from(model, tvars)
+    obj, mask = make_car_object(24, 16, seed=0)
+    cfg = HardeningConfig(
+        selfsup=SelfSupConfig(height=H, width=W,
+                              frame_ids=("0", "-1", "s")),
+        adv=AdvSynthConfig(norm_type="l_inf", steps=1,
+                           attack_batch_size=2, ori_h=96, ori_w=320),
+        model_family="manydepth", manydepth_real_lookup=True,
+        batch_size=2, compute_dtype="float32")
+    trainer = HardeningTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
+                               teacher=teacher, steps_per_epoch=10)
+    state = trainer.make_state()
+    frames = {"0": jnp.asarray(make_scene(2, 96, 320, seed=2)),
+              "-1": jnp.asarray(make_scene(2, 96, 320, seed=6)),
+              "s": jnp.asarray(make_scene(2, 96, 320, seed=3))}
+    # host copy: train_step donates the state buffers
+    before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["depth"])[0])
+    state, metrics = trainer.train_step(
+        state, frames, jnp.ones((2,), bool), jnp.zeros((2,), bool),
+        jnp.asarray(make_scene(2, 96, 320, seed=4)),
+        jax.random.PRNGKey(5))
+    after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["depth"])[0])
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["selfsup_loss"]))
+    assert not np.allclose(before, after)
+
+    # config validation
+    with pytest.raises(ValueError):
+        HardeningTrainer(
+            HardeningConfig(
+                selfsup=SelfSupConfig(height=H, width=W,
+                                      frame_ids=("0", "s")),
+                adv=AdvSynthConfig(ori_h=96, ori_w=320),
+                model_family="manydepth", manydepth_real_lookup=True,
+                batch_size=2),
+            jax.random.PRNGKey(1), obj, mask, teacher=teacher)
