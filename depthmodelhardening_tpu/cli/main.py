@@ -180,6 +180,8 @@ def cmd_train_distill(args):
     cfg = DistillConfig(adv_type=args.adv_type, epsilon=args.epsilon,
                         alpha=args.alpha, steps=args.step,
                         batch_size=args.batch_size,
+                        scene_h=args.height, scene_w=args.width,
+                        ori_h=args.ori_h, ori_w=args.ori_w,
                         learning_rate=args.lr, epochs=args.epochs,
                         compute_dtype=args.compute_dtype,
                         attack_crop_w=args.attack_crop_w,
@@ -305,7 +307,8 @@ def cmd_train_hardening(args):
                            attack_batch_size=args.attack_batch_size,
                            attack_crop_w=args.attack_crop_w,
                            attack_crop_h=args.attack_crop_h,
-                           half_no_synthesis=args.half_no_synthesis),
+                           half_no_synthesis=args.half_no_synthesis,
+                           ori_h=args.ori_h, ori_w=args.ori_w),
         supervised_adv=args.supervised_adv and adv_train,
         contrastive_learning=args.contrastive_learning and adv_train,
         no_original_train=args.no_original_train,
@@ -318,7 +321,8 @@ def cmd_train_hardening(args):
         s2d_stem=args.s2d_stem, fuse_upconv=args.fuse_upconv)
 
     lines = load_split(args.split_dir, args.split, "train")
-    ds = KittiRawDataset(args.data_path, lines, frame_ids=frame_ids)
+    ds = KittiRawDataset(args.data_path, lines, frame_ids=frame_ids,
+                         ori_h=args.ori_h, ori_w=args.ori_w)
     mesh = make_mesh() if args.data_parallel else None
     loader = PrefetchLoader(ds, cfg.batch_size, collate, seed=args.seed)
     steps_per_epoch = max(len(loader), 1)
@@ -522,6 +526,8 @@ def build_parser():
     pd.add_argument("--lr", type=float, default=1e-4)
     pd.add_argument("--epochs", type=int, default=20)
     pd.add_argument("--seed", type=int, default=17)
+    pd.add_argument("--ori-h", type=int, default=375)
+    pd.add_argument("--ori-w", type=int, default=1242)
     pd.add_argument("--eval-count", type=int, default=5,
                     help="scenes per per-epoch robustness eval "
                          "(the reference uses 50, "
@@ -542,6 +548,10 @@ def build_parser():
     ph.add_argument("--object-image", required=True)
     ph.add_argument("--paint-mask-no", default="-2")
     ph.add_argument("--frame-ids", default="0,s")
+    ph.add_argument("--ori-h", type=int, default=375,
+                    help="native scene resolution the loader resizes "
+                         "to (my_utils.py:12-13)")
+    ph.add_argument("--ori-w", type=int, default=1242)
     ph.add_argument("--norm-type", default="l_0")
     ph.add_argument("--step", type=int, default=10)
     ph.add_argument("--attack-batch-size", type=int, default=12)

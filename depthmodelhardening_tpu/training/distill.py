@@ -103,9 +103,16 @@ class DistillTrainer:
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
 
     def make_state(self) -> DistillState:
+        # deep-copy: train_step donates the state, and aliasing the
+        # caller's arrays would free them on the first step — the
+        # frozen teacher typically SHARES the pretrained arrays
+        # (init_variables=teacher variables), which then die under it
+        # on TPU (donation is a no-op on CPU, so only hardware runs
+        # hit this).
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
         state = DistillState(
-            params=self._variables["params"],
-            batch_stats=self._variables.get("batch_stats", {}),
+            params=copy(self._variables["params"]),
+            batch_stats=copy(self._variables.get("batch_stats", {})),
             opt_state=self.tx.init(self._variables["params"]),
             step=jnp.zeros((), jnp.int32))
         if self.mesh is not None:

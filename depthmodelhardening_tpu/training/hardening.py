@@ -204,8 +204,13 @@ class HardeningTrainer:
         return v
 
     def make_state(self) -> TrainState:
-        params = {k: v["params"] for k, v in self._variables.items()}
-        batch_stats = {k: v.get("batch_stats", {})
+        # deep-copy: the donated train step must not free the caller's
+        # arrays (the teacher shares them under --fine-tune; see
+        # DistillTrainer.make_state)
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        params = {k: copy(v["params"])
+                  for k, v in self._variables.items()}
+        batch_stats = {k: copy(v.get("batch_stats", {}))
                        for k, v in self._variables.items()}
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=self.tx.init(params),
