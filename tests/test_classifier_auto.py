@@ -266,3 +266,33 @@ def test_apgd_stochastic_model_and_rand_version(model, data):
     adv2 = auto.autoattack(noisy_fn, v, x, y, eps=0.15, n_classes=NC,
                            version="rand")
     assert float(jnp.max(jnp.abs(adv2 - x))) <= 0.15 + 1e-5
+
+
+def test_apgd_checkpoint_schedule_matches_counter3():
+    """_apgd_checkpoints must reproduce the reference's counter3 loop
+    (apgd.py:85,131,192-211): k starts at ceil(0.22*steps), a
+    checkpoint fires when counter3 == k (i.e. at loop index i = k-1
+    after the first window), counter3 resets, and k shrinks by
+    0.03*steps to a floor of 0.06*steps. The oscillation window at
+    each checkpoint is the k in force there."""
+    from depthmodelhardening_tpu.attacks.classifier_auto import (
+        _apgd_checkpoints,
+    )
+
+    for steps in (10, 25, 50, 100, 250):
+        # pure-python transcription of the reference loop
+        n2 = max(int(0.22 * steps), 1)
+        nmin = max(int(0.06 * steps), 1)
+        decr = max(int(0.03 * steps), 1)
+        k, counter3 = n2, 0
+        want = {}
+        for i in range(steps):
+            counter3 += 1
+            if counter3 == k:
+                want[i] = k
+                counter3 = 0
+                k = max(k - decr, nmin)
+
+        mask, win = _apgd_checkpoints(steps)
+        got = {i: int(win[i]) for i in range(steps) if bool(mask[i])}
+        assert got == want, (steps, got, want)
