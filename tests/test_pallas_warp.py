@@ -199,3 +199,42 @@ def test_composite_tiled_pair_matches_two_singles(eot, data):
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), atol=1e-5)
+
+
+def test_separable_matches_2d_across_random_geometries():
+    """Property check: random object sizes, tile sizes, vehicle
+    dimensions and projections — the factorization must track the 2-D
+    sampler everywhere (not just the fixtures above)."""
+    from depthmodelhardening_tpu.physics.eot import monodepth2_K
+
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        oh = int(rng.randint(12, 40))
+        ow = int(rng.randint(16, 60))
+        th = int(rng.choice([32, 48, 64]))
+        tw = int(rng.choice([64, 96, 128]))
+        veh_w = float(rng.uniform(1.4, 2.5))
+        veh_h = float(rng.uniform(0.7, 3.0))
+        P = monodepth2_K(width=MW, height=MH)[:3, :].astype(np.float32)
+        comp = EoTCompositor(EoTConfig(
+            obj_h=oh, obj_w=ow, projection=P, proj_eps=0.0,
+            scene_h=MH, scene_w=MW, veh_w=veh_w, veh_h=veh_h))
+        z0s = jnp.asarray(rng.uniform(5, 30, 3).astype(np.float32))
+        alphas = jnp.asarray(rng.uniform(-30, 30, 3).astype(np.float32))
+        obj = jnp.asarray(rng.rand(1, oh, ow, 3).astype(np.float32))
+        mask = jnp.asarray((rng.rand(1, oh, ow, 1) > 0.2)
+                           .astype(np.float32))
+        scenes = jnp.asarray(rng.rand(3, MH, MW, 3).astype(np.float32))
+        kw = dict(model_h=MH, model_w=MW, tile_h=th, tile_w=tw)
+        a_s, m_s = comp.composite_tiled_model(
+            scenes, obj, mask, z0s, alphas, adjoint_mode="separable",
+            **kw)
+        a_r, m_r = comp.composite_tiled_model(
+            scenes, obj, mask, z0s, alphas, adjoint_mode="scatter",
+            **kw)
+        np.testing.assert_allclose(
+            np.asarray(a_s), np.asarray(a_r), atol=1e-4,
+            err_msg=f"trial {trial}: oh={oh} ow={ow} tile={th}x{tw} "
+                    f"veh={veh_w:.2f}x{veh_h:.2f}")
+        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r),
+                                   atol=1e-4)
