@@ -13,6 +13,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/longrun_demo.py
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -51,11 +52,12 @@ def attack_effect(trainer, state, eval_scene):
 
 
 def main():
+    adv_type = sys.argv[1] if len(sys.argv) > 1 else "object"
     teacher_model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W,
                                            dtype=jnp.bfloat16)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
-    cfg = DistillConfig(adv_type="object", epsilon=0.1, alpha=0.005,
+    cfg = DistillConfig(adv_type=adv_type, epsilon=0.1, alpha=0.005,
                         steps=10, batch_size=BATCH,
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
                         learning_rate=1e-4, compute_dtype="bfloat16",
@@ -86,6 +88,7 @@ def main():
     after = attack_effect(trainer, state, eval_scene)
 
     print(json.dumps({
+        "adv_type": adv_type,
         "steps": STEPS,
         "imgs_per_sec": round(STEPS * BATCH / dt, 2),
         "loss_first": losses[0][1], "loss_last": losses[-1][1],
