@@ -111,6 +111,13 @@ class DepthDecoder(nn.Module):
     """Multi-scale disparity decoder.
 
     __call__(features) -> {("disp", s): (B, H/2^s, W/2^s, C_out)}.
+
+    `packed=True` runs the two largest stages (i=1, i=0: the 96->32,
+    32->16, 16->16 convs and the scale-0/1 disparity heads) on
+    channel-major space-to-depth activations (ops/packed_decoder.py):
+    4x the MXU lanes at 1/4 the positions, exact to float
+    associativity, same parameter tree. Measured the decoder's floor on
+    v5e (docs/PERFORMANCE.md "Known remaining headroom").
     """
 
     scales: Sequence[int] = (0, 1, 2, 3)
@@ -118,9 +125,12 @@ class DepthDecoder(nn.Module):
     use_skips: bool = True
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, input_features) -> Dict[Tuple[str, int], jnp.ndarray]:
+        if self.packed:
+            return self._call_packed(input_features)
         outputs = {}
         x = input_features[-1].astype(self.dtype)
         for i in range(4, -1, -1):
@@ -151,6 +161,74 @@ class DepthDecoder(nn.Module):
                                name=f"dispconv_{i}")(x)
                 # disparities feed losses/geometry: keep them f32
                 outputs[("disp", i)] = nn.sigmoid(disp.astype(jnp.float32))
+        return outputs
+
+    def _call_packed(self, input_features) -> Dict[Tuple[str, int],
+                                                   jnp.ndarray]:
+        """Stages 4..2 as in the naive path; stages 1 and 0 (and their
+        disparity heads) on packed activations. Numerically identical
+        to the naive path up to float associativity
+        (tests/test_packed_decoder.py)."""
+        from ..ops.packed_decoder import (
+            pack2, packed_conv3x3_reflect, tile4, unpack2,
+        )
+
+        def packed_disp(xhat, ch, i):
+            kernel, bias = _Conv3x3Params(
+                self.num_output_channels, ch, name=f"dispconv_{i}")()
+            d = packed_conv3x3_reflect(xhat, kernel.astype(self.dtype),
+                                       bias.astype(self.dtype))
+            return nn.sigmoid(unpack2(d).astype(jnp.float32))
+
+        outputs = {}
+        x = input_features[-1].astype(self.dtype)
+        for i in range(4, 1, -1):
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_0")(x)
+            x = nearest_upsample2(x)
+            if self.use_skips:
+                x = jnp.concatenate(
+                    [x, input_features[i - 1].astype(self.dtype)], -1)
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_1")(x)
+            if i in self.scales:
+                disp = Conv3x3(self.num_output_channels,
+                               dtype=self.dtype,
+                               name=f"dispconv_{i}")(x)
+                outputs[("disp", i)] = nn.sigmoid(
+                    disp.astype(jnp.float32))
+
+        # i=1: unpacked conv at /4, then enter packed layout through the
+        # upsample (tile4) + packed skip
+        x = ConvBlock(NUM_CH_DEC[1], dtype=self.dtype,
+                      name="upconv_1_0")(x)
+        segs = [tile4(x)]
+        seg_ch = [x.shape[-1]]
+        if self.use_skips:
+            skip = input_features[0].astype(self.dtype)
+            segs.append(pack2(skip))
+            seg_ch.append(skip.shape[-1])
+        k1, b1 = _ConvBlockParams(NUM_CH_DEC[1], sum(seg_ch),
+                                  name="upconv_1_1")()
+        xhat = nn.elu(packed_conv3x3_reflect(
+            segs, k1.astype(self.dtype), b1.astype(self.dtype),
+            segment_channels=tuple(seg_ch)))
+        if 1 in self.scales:
+            outputs[("disp", 1)] = packed_disp(xhat, NUM_CH_DEC[1], 1)
+
+        # i=0: stays packed end-to-end; the /2 -> /1 upsample is the one
+        # genuine relayout (a cheap 16-channel unpack)
+        k0a, b0a = _ConvBlockParams(NUM_CH_DEC[0], NUM_CH_DEC[1],
+                                    name="upconv_0_0")()
+        xhat = nn.elu(packed_conv3x3_reflect(
+            xhat, k0a.astype(self.dtype), b0a.astype(self.dtype)))
+        xhat = tile4(unpack2(xhat))
+        k0b, b0b = _ConvBlockParams(NUM_CH_DEC[0], NUM_CH_DEC[0],
+                                    name="upconv_0_1")()
+        xhat = nn.elu(packed_conv3x3_reflect(
+            xhat, k0b.astype(self.dtype), b0b.astype(self.dtype)))
+        if 0 in self.scales:
+            outputs[("disp", 0)] = packed_disp(xhat, NUM_CH_DEC[0], 0)
         return outputs
 
 

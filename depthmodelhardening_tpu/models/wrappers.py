@@ -37,6 +37,7 @@ class MonodepthModel(nn.Module):
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
     s2d_stem: bool = False
+    packed_decoder: bool = False
 
     def setup(self):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
@@ -46,6 +47,7 @@ class MonodepthModel(nn.Module):
         self.decoder = DepthDecoder(scales=tuple(self.scales),
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,
+                                    packed=self.packed_decoder,
                                     name="decoder")
 
     def __call__(self, x, train: bool = False):
@@ -119,6 +121,7 @@ class ManyDepthModel(nn.Module):
     num_depth_bins: int = 96
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
+    packed_decoder: bool = False
 
     def setup(self):
         from .matching_encoder import ResnetEncoderMatching
@@ -131,6 +134,7 @@ class ManyDepthModel(nn.Module):
         self.decoder = DepthDecoder(scales=tuple(self.scales),
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,
+                                    packed=self.packed_decoder,
                                     name="decoder")
 
     def __call__(self, x, K, invK, min_depth_bin=0.1,
@@ -183,6 +187,7 @@ class ManyDepthTrainModel(nn.Module):
     max_depth_bin: float = 20.0
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
+    packed_decoder: bool = False
 
     def setup(self):
         from .matching_encoder import ResnetEncoderMatching
@@ -197,6 +202,7 @@ class ManyDepthTrainModel(nn.Module):
         self.decoder = DepthDecoder(scales=tuple(self.scales),
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,
+                                    packed=self.packed_decoder,
                                     name="decoder")
 
     def _quarter_K(self, B):

@@ -9,6 +9,8 @@ set_pallas_enabled(False) to force the jnp fallbacks.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 
 _pallas_enabled = True
@@ -29,3 +31,21 @@ def pallas_available() -> bool:
     """True when pallas TPU kernels may be emitted into the current
     computation: the switch is on and the default backend is TPU."""
     return _pallas_enabled and jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Scope the jnp-fallback switch to a block.
+
+    For computations explicitly placed on a virtual CPU mesh inside a
+    process whose frozen default backend is TPU (multi-chip dryruns,
+    ad-hoc tests): TPU pallas kernels must not be emitted into the CPU
+    program, but the switch must be restored afterwards so later
+    same-process TPU work is not silently degraded to the fallbacks.
+    """
+    prev = pallas_enabled()
+    set_pallas_enabled(False)
+    try:
+        yield
+    finally:
+        set_pallas_enabled(prev)

@@ -73,6 +73,13 @@ def make_mesh(n_devices: Optional[int] = None,
     closed — sharding semantics (psum reductions, batch sharding) are
     identical, only the silicon differs. Pass allow_virtual=False to
     get the old strict behavior.
+
+    A caller that gets the virtual fallback in a process whose frozen
+    default backend is TPU must wrap its mesh computations in
+    ops.dispatch.pallas_disabled() (TPU pallas kernels cannot be emitted
+    into the CPU program); this constructor deliberately does NOT flip
+    that switch itself — a global side effect from a constructor would
+    silently degrade subsequent same-process TPU work.
     """
     if devices is None:
         devices = jax.devices()
@@ -82,12 +89,6 @@ def make_mesh(n_devices: Optional[int] = None,
                     f"requested a {n_devices}-device mesh but only "
                     f"{len(devices)} devices are visible")
             devices = ensure_virtual_cpu_devices(n_devices)
-            # the computation now targets CPU devices while the frozen
-            # default backend may still say "tpu" — TPU pallas kernels
-            # must not be emitted into the CPU-mesh program
-            from ..ops.dispatch import set_pallas_enabled
-
-            set_pallas_enabled(False)
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
@@ -148,12 +149,20 @@ def make_global_mesh(axis_names: Sequence[str] = ("data",)) -> Mesh:
     """
     if jax.process_count() == 1:
         return make_mesh(axis_names=axis_names)
-    from jax.experimental import mesh_utils
-
     n_proc = jax.process_count()
     per_proc = len(jax.devices()) // n_proc
-    arr = mesh_utils.create_hybrid_device_mesh(
-        (per_proc,), (n_proc,), devices=jax.devices())
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (per_proc,), (n_proc,), devices=jax.devices())
+    except ValueError:
+        # devices without TPU slice topology (e.g. multi-process CPU
+        # meshes in tests): order process-outer by hand — same
+        # DCN-outer/ICI-inner intent, no slice metadata needed
+        devs = sorted(jax.devices(),
+                      key=lambda d: (d.process_index, d.id))
+        arr = np.asarray(devs).reshape(n_proc, per_proc)
     return Mesh(arr.reshape((arr.size,) + (1,) * (len(axis_names) - 1)),
                 tuple(axis_names))
 

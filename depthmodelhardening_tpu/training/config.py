@@ -112,9 +112,11 @@ class HardeningConfig:
     # requires model_family="manydepth" and monocular frame_ids)
     manydepth_real_lookup: bool = False
     # exact TPU conv rewrites (models/resnet.py s2d_stem,
-    # models/depth_decoder.py fuse_upconv) — numerics identical
+    # models/depth_decoder.py fuse_upconv / packed channel-major
+    # decoder stages, ops/packed_decoder.py) — numerics identical
     s2d_stem: bool = False
     fuse_upconv: bool = False
+    packed_decoder: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +141,7 @@ class DistillConfig:
     tile_w: int = 256
     s2d_stem: bool = False
     fuse_upconv: bool = False
+    packed_decoder: bool = False
     scene_h: int = 320
     scene_w: int = 1024
     ori_h: int = 375

@@ -86,7 +86,8 @@ class DistillTrainer:
         self.model = MonodepthModel(num_layers=num_layers,
                                     dtype=jnp.dtype(cfg.compute_dtype),
                                     s2d_stem=cfg.s2d_stem,
-                                    fuse_upconv=cfg.fuse_upconv)
+                                    fuse_upconv=cfg.fuse_upconv,
+                                    packed_decoder=cfg.packed_decoder)
 
         def student_predict(variables, images):
             return self.model.apply(variables, images, train=False)

@@ -106,12 +106,14 @@ class HardeningTrainer:
                 num_layers=cfg.num_layers, scales=ss.scales,
                 input_height=ss.height, input_width=ss.width,
                 num_depth_bins=cfg.manydepth_num_depth_bins,
-                dtype=dtype, fuse_upconv=cfg.fuse_upconv)
+                dtype=dtype, fuse_upconv=cfg.fuse_upconv,
+                packed_decoder=cfg.packed_decoder)
         else:
             self.model = MonodepthModel(num_layers=cfg.num_layers,
                                         scales=ss.scales, dtype=dtype,
                                         s2d_stem=cfg.s2d_stem,
-                                        fuse_upconv=cfg.fuse_upconv)
+                                        fuse_upconv=cfg.fuse_upconv,
+                                        packed_decoder=cfg.packed_decoder)
         self.simsiam = SimSiam() if cfg.contrastive_learning else None
         self.use_pose = ss.use_pose_net
         if self.use_pose:

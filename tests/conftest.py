@@ -22,4 +22,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent compilation cache: the suite's wall time is dominated by
+# repeated jit compiles of the trainer/attack programs (VERDICT r2 weak
+# #5); bench.py uses the same recipe for the TPU step (bench.py:26-29).
+# A separate directory from the TPU .cache_jax keeps eviction pressure
+# off the expensive tunnel-compiled TPU executables.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".cache_jax_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, _REPO)

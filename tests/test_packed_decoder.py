@@ -1,0 +1,115 @@
+"""Packed (channel-major space-to-depth) decoder stages: exactness vs
+the naive path. The packed form is the TPU layout optimization for the
+decoder's lane-starved 16/32-channel convs (ops/packed_decoder.py);
+it shares the parameter tree with the naive decoder and must match its
+values and gradients to float-associativity tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depthmodelhardening_tpu.ops.packed_decoder import (
+    pack2, packed_conv3x3_reflect, pack_conv3x3_kernel, tile4, unpack2,
+)
+
+
+def _ref_conv(x, k, b=None):
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b if b is not None else y
+
+
+def test_pack_roundtrip_and_tile4():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 12, 7), jnp.float32)
+    assert jnp.array_equal(unpack2(pack2(x)), x)
+    up = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+    assert jnp.array_equal(pack2(up), tile4(x))
+
+
+@pytest.mark.parametrize("H,W,Cin,Cout", [(8, 12, 3, 5), (16, 8, 16, 16),
+                                          (6, 6, 2, 1)])
+def test_packed_conv_matches_reflect_conv(H, W, Cin, Cout):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, H, W, Cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, Cin, Cout), jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    ref = _ref_conv(x, k, b)
+    got = unpack2(packed_conv3x3_reflect(pack2(x), k, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_packed_kernel_nonzeros():
+    """The dense packed kernel carries exactly the 9 original taps per
+    (cin, cout, output-phase) triple (the rest are structural zeros) —
+    the 16/9 dense-FLOP overhead the 4x lane gain pays for."""
+    k = jnp.ones((3, 3, 2, 3), jnp.float32)
+    kp = pack_conv3x3_kernel(k)
+    assert kp.shape == (2, 2, 8, 12)
+    assert float(jnp.sum(kp != 0)) == 9 * 4 * 2 * 3
+
+
+def test_packed_segmented_concat_upsample_skip():
+    """The decoder chain conv(concat(up2(x), skip)) against
+    packed([tile4(x), pack2(skip)]) — values and all gradients."""
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(2, 4, 6, 5), jnp.float32)
+    s = jnp.asarray(rng.randn(2, 8, 12, 9), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 14, 11), jnp.float32)
+
+    def ref(a, s, k):
+        up = jnp.repeat(jnp.repeat(a, 2, 1), 2, 2)
+        return _ref_conv(jnp.concatenate([up, s], -1), k)
+
+    def packed(a, s, k):
+        return unpack2(packed_conv3x3_reflect([tile4(a), pack2(s)], k))
+
+    np.testing.assert_allclose(np.asarray(packed(a, s, k)),
+                               np.asarray(ref(a, s, k)), atol=1e-4)
+    gr = jax.grad(lambda *t: jnp.sum(jnp.sin(ref(*t))), (0, 1, 2))(a, s, k)
+    gp = jax.grad(lambda *t: jnp.sum(jnp.sin(packed(*t))), (0, 1, 2))(a, s, k)
+    for u, v in zip(gr, gp):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   atol=2e-4)
+
+
+def test_packed_decoder_model_parity():
+    """Full MonodepthModel: packed_decoder=True shares the parameter
+    tree and reproduces the naive model's disparities and input
+    gradients."""
+    from depthmodelhardening_tpu.models.wrappers import MonodepthModel
+
+    H, W = 64, 96
+    naive = MonodepthModel(num_layers=18)
+    packed = MonodepthModel(num_layers=18, packed_decoder=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, H, W, 3))
+    v = naive.init(jax.random.PRNGKey(1), x, train=False)
+    # identical parameter trees (packed consumes the same params)
+    v2 = packed.init(jax.random.PRNGKey(1), x, train=False)
+    t1 = jax.tree_util.tree_structure(v)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2
+
+    d_ref = naive.apply(v, x, train=False)
+    d_pk = packed.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(d_pk), np.asarray(d_ref),
+                               atol=1e-5)
+
+    g_ref = jax.grad(lambda x: jnp.sum(naive.apply(v, x) ** 2))(x)
+    g_pk = jax.grad(lambda x: jnp.sum(packed.apply(v, x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
+                               atol=1e-5)
+
+    # all four scales of the multi-scale head path
+    _, outs_ref = naive.apply(v, x, train=False,
+                              method=naive.features_and_disps)
+    _, outs_pk = packed.apply(v, x, train=False,
+                              method=packed.features_and_disps)
+    assert set(outs_ref) == set(outs_pk)
+    for key in outs_ref:
+        np.testing.assert_allclose(np.asarray(outs_pk[key]),
+                                   np.asarray(outs_ref[key]), atol=1e-5)
