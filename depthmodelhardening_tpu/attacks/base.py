@@ -86,8 +86,29 @@ class PhysObjAttackConfig:
     # height centered on the object mask (the quad is <=~230 px tall at
     # z0 >= 5 m vs the 320-px frame). Same semantics/rescaling.
     attack_crop_h: Optional[int] = None
+    # Inner-loop objective from the scale-s disparity head instead of
+    # disp0 (0 = reference full-resolution objective). The Monodepth2
+    # decoder's multi-scale heads predict the same disparity at
+    # 1/2^s resolution, so the targeted MSE read from ("disp", s)
+    # carries near-identical texture gradients while XLA dead-code
+    # eliminates the decoder's /1-scale stages (upconv0_0/0_1 +
+    # dispconv0 — the three most expensive convs) from every PGD
+    # fwd+bwd. Requires the trainer to supply predict_scale_fn.
+    # Finals, training losses and eval always use disp0.
+    attack_scale: int = 0
+    # Coarse-to-fine schedule: when attack_scale > 0, the LAST k inner
+    # steps read the reference disp0 objective so the texture's final
+    # refinements align with the true full-resolution objective (the
+    # pure coarse objective measured ~7% weaker at scale 1 on the
+    # equivalence suite; the fine tail recovers it —
+    # docs/FIDELITY.md). Ignored when attack_scale == 0.
+    attack_scale_fine_steps: int = 1
 
     def __post_init__(self):
+        if self.attack_scale not in (0, 1, 2):
+            raise ValueError("attack_scale must be 0, 1 or 2")
+        if self.attack_scale_fine_steps < 0:
+            raise ValueError("attack_scale_fine_steps must be >= 0")
         for name, crop, full, tile in (
                 ("attack_crop_w", self.attack_crop_w, self.scene_w,
                  self.tile_w),
@@ -145,6 +166,10 @@ class PhysObjAttack:
         self.cfg = cfg
         self.eot = cfg.make_eot()
         self._jitted = {}
+        # (variables, images) -> ("disp", cfg.attack_scale); assigned by
+        # the trainer when cfg.attack_scale > 0 (the plain predict_fn
+        # contract is disp0-only)
+        self.predict_scale_fn: Optional[Callable] = None
 
     # -- common pieces --------------------------------------------------------
     def _replicate(self, scenes, batch_size: int):
@@ -193,24 +218,41 @@ class PhysObjAttack:
             tile_w=min(self.cfg.tile_w, self.cfg.scene_w),
             adjoint_mode=self.cfg.adjoint_mode)
 
-    def _targeted_cost(self, variables, adv_scenes, masks):
+    def _targeted_cost(self, variables, adv_scenes, masks,
+                       fine: bool = False):
         """Targeted zero-disparity MSE inside the object mask
-        (phy_obj_atk.py:94): mean((disp * mask)^2)."""
+        (phy_obj_atk.py:94): mean((disp * mask)^2). `fine=True` forces
+        the reference disp0 objective regardless of cfg.attack_scale
+        (the tail of the coarse-to-fine schedule)."""
         B, H, W, _ = adv_scenes.shape
         cw = self.cfg.attack_crop_w
         ch = self.cfg.attack_crop_h
         cw = cw if cw is not None and cw < W else None
         ch = ch if ch is not None and ch < H else None
+        scale = 1.0
         if cw is not None or ch is not None:
             adv_scenes, masks, scale = self._crop_to_object(
                 adv_scenes, masks, cw or W, ch or H)
+        s = 0 if fine else self.cfg.attack_scale
+        if s:
+            if self.predict_scale_fn is None:
+                raise ValueError(
+                    "attack_scale > 0 needs predict_scale_fn (the "
+                    "trainer supplies the scale-s disparity head)")
+            f = 2 ** s
+            hh, ww = adv_scenes.shape[1] // f, adv_scenes.shape[2] // f
+            # the scale-s head predicts the same disparity at 1/f res;
+            # read the objective there and pool the mask to match —
+            # the mean is resolution-invariant, so the crop rescale
+            # carries over unchanged
+            masks = bilinear_resize(masks, hh, ww)
+            disp = self.predict_scale_fn(variables, adv_scenes)
+        else:
             disp = self.predict_fn(variables, adv_scenes)
-            # rescale the crop mean back to the full-frame mean so
-            # magnitude-sensitive optimizers (Adam/APGD checkpoints)
-            # see reference-scale costs
-            return jnp.mean((disp * masks) ** 2) * scale
-        disp = self.predict_fn(variables, adv_scenes)
-        return jnp.mean((disp * masks) ** 2)
+        # rescale the crop mean back to the full-frame mean so
+        # magnitude-sensitive optimizers (Adam/APGD checkpoints)
+        # see reference-scale costs
+        return jnp.mean((disp * masks) ** 2) * scale
 
     def _crop_to_object(self, adv_scenes, masks, cw: int, ch: int):
         """Crop each sample to (ch, cw) centered on the object mask's

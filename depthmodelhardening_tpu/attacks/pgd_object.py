@@ -40,21 +40,38 @@ class PGDObjectAttack(PhysObjAttack):
 
         batch = scenes_full.shape[0]
 
-        def cost_fn(obj, z0s, alphas):
+        def cost_fn(obj, z0s, alphas, fine):
             adv_scenes, masks = self._model_view(scenes_full, obj, z0s,
                                                  alphas)
-            return self._targeted_cost(variables, adv_scenes, masks)
+            return self._targeted_cost(variables, adv_scenes, masks,
+                                       fine=fine)
 
-        grad_fn = jax.grad(cost_fn)
+        def body(grad_fn):
+            def _body(step, obj):
+                z0s, alphas = self._sample_za(
+                    jax.random.fold_in(k_loop, step), batch)
+                g = grad_fn(obj, z0s, alphas)
+                # cost is -MSE ascended in the reference
+                # (phy_obj_atk.py:94-99); equivalently descend the MSE
+                # by the gradient sign.
+                obj = obj - self.alpha * jnp.sign(g)
+                delta = jnp.clip(obj - obj_clean, -self.eps, self.eps)
+                return jnp.clip(obj_clean + delta, 0.0, 1.0)
+            return _body
 
-        def body(step, obj):
-            z0s, alphas = self._sample_za(
-                jax.random.fold_in(k_loop, step), batch)
-            g = grad_fn(obj, z0s, alphas)
-            # cost is -MSE ascended in the reference (phy_obj_atk.py:94-99);
-            # equivalently descend the MSE by the gradient sign.
-            obj = obj - self.alpha * jnp.sign(g)
-            delta = jnp.clip(obj - obj_clean, -self.eps, self.eps)
-            return jnp.clip(obj_clean + delta, 0.0, 1.0)
-
-        return jax.lax.fori_loop(0, self.steps, body, obj_adv)
+        # coarse-to-fine: the first steps read the (cheap) scale-s
+        # objective, the last cfg.attack_scale_fine_steps read disp0
+        # (a single fori_loop when no schedule is active)
+        fine_steps = (min(self.cfg.attack_scale_fine_steps, self.steps)
+                      if self.cfg.attack_scale else 0)
+        coarse_steps = self.steps - fine_steps
+        grad_coarse = jax.grad(
+            lambda o, z, a: cost_fn(o, z, a, fine=False))
+        obj_adv = jax.lax.fori_loop(0, coarse_steps, body(grad_coarse),
+                                    obj_adv)
+        if fine_steps:
+            grad_fine = jax.grad(
+                lambda o, z, a: cost_fn(o, z, a, fine=True))
+            obj_adv = jax.lax.fori_loop(coarse_steps, self.steps,
+                                        body(grad_fine), obj_adv)
+        return obj_adv

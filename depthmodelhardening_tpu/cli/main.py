@@ -186,6 +186,8 @@ def cmd_train_distill(args):
                         compute_dtype=args.compute_dtype,
                         attack_crop_w=args.attack_crop_w,
                         attack_crop_h=args.attack_crop_h,
+                        attack_scale=args.attack_scale,
+                        attack_scale_fine_steps=args.attack_scale_fine_steps,
                         s2d_stem=args.s2d_stem,
                         fuse_upconv=args.fuse_upconv,
                         packed_decoder=args.packed_decoder)
@@ -308,6 +310,9 @@ def cmd_train_hardening(args):
                            attack_batch_size=args.attack_batch_size,
                            attack_crop_w=args.attack_crop_w,
                            attack_crop_h=args.attack_crop_h,
+                           attack_scale=args.attack_scale,
+                           attack_scale_fine_steps=(
+                               args.attack_scale_fine_steps),
                            half_no_synthesis=args.half_no_synthesis,
                            ori_h=args.ori_h, ori_w=args.ori_w),
         supervised_adv=args.supervised_adv and adv_train,
@@ -471,6 +476,15 @@ def _add_perf_args(p):
                    help="exact space-to-depth stem conv rewrite")
     p.add_argument("--fuse-upconv", action="store_true",
                    help="exact fused upsample+conv decoder rewrite")
+    p.add_argument("--attack-scale", type=int, default=0,
+                   choices=(0, 1, 2),
+                   help="PGD-loop objective from the scale-s disparity "
+                        "head (skips the /1 decoder stages per inner "
+                        "step; 0 = reference disp0 objective)")
+    p.add_argument("--attack-scale-fine-steps", type=int, default=1,
+                   help="with --attack-scale > 0: how many of the LAST "
+                        "inner steps read the reference disp0 "
+                        "objective (coarse-to-fine)")
     p.add_argument("--packed-decoder", action="store_true",
                    help="exact channel-major (space-to-depth) decoder "
                         "stages (ops/packed_decoder.py; the measured "

@@ -131,35 +131,49 @@ def pack_conv3x3_kernel(kernel: jnp.ndarray,
     return jnp.stack(rows, 0)  # (2,2,4Cin,4Cout)
 
 
-def reflect_pad_packed(x: jnp.ndarray) -> jnp.ndarray:
-    """Pad a packed tensor by one block on each side such that a VALID
-    2x2 conv with the pack_conv3x3_kernel reproduces reflect_pad1 +
-    conv3x3 of the original tensor.
+def _reflect_rows(x):
+    """The two reflect-adjusted pad BLOCK rows of a packed tensor.
 
-    The top pad block must hold original rows (-2, -1) -> reflect ->
+    The top pad block holds original rows (-2, -1) -> reflect ->
     (2, 1): its p=0 half (first 2C channels, phase-major) comes from
     packed row 1's p=0 half, its p=1 half from packed row 0's p=1 half.
     Bottom: original rows (2n, 2n+1) -> reflect -> (2n-2, 2n-3) =
-    (row n-1 p=0, row n-2 p=1). Columns likewise on the q halves
-    (reflect padding is separable, so padding rows then columns of the
-    row-padded tensor handles the corners). Needs n, m >= 2.
+    (row n-1 p=0, row n-2 p=1). Needs n >= 2.
     """
-    B, n, m, C4 = x.shape
-    h = C4 // 2  # channels in the p=0 (resp. q-even) half
-
+    n, h = x.shape[1], x.shape[-1] // 2
     top = jnp.concatenate([x[:, 1:2, :, :h], x[:, 0:1, :, h:]], axis=-1)
     bot = jnp.concatenate([x[:, n - 1:n, :, :h],
                            x[:, n - 2:n - 1, :, h:]], axis=-1)
-    x = jnp.concatenate([top, x, bot], axis=1)
+    return top, bot
 
-    # column phases: q is the MINOR phase bit -> per-phase-group slices
+
+def _reflect_cols(x):
+    """The two reflect-adjusted pad block COLUMNS (q is the minor phase
+    bit, so the halves interleave per phase group). Needs m >= 2."""
+    B, n, m, C4 = x.shape
     C = C4 // 4
-    xg = x.reshape(B, n + 2, m, 2, 2, C)
+    xg = x.reshape(B, n, m, 2, 2, C)
     left = jnp.concatenate([xg[:, :, 1:2, :, 0:1], xg[:, :, 0:1, :, 1:2]],
-                           axis=4).reshape(B, n + 2, 1, C4)
+                           axis=4).reshape(B, n, 1, C4)
     right = jnp.concatenate([xg[:, :, m - 1:m, :, 0:1],
                              xg[:, :, m - 2:m - 1, :, 1:2]],
-                            axis=4).reshape(B, n + 2, 1, C4)
+                            axis=4).reshape(B, n, 1, C4)
+    return left, right
+
+
+def reflect_pad_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad a packed tensor by one block on each side such that a VALID
+    2x2 conv with the pack_conv3x3_kernel reproduces reflect_pad1 +
+    conv3x3 of the original tensor (reflect padding is separable, so
+    padding rows then columns of the row-padded tensor handles the
+    corners). Exact but copies the full tensor twice — the fast path in
+    packed_conv3x3_reflect uses conv-native zero padding with border
+    corrections instead; this form remains the reference for tests.
+    Needs n, m >= 2.
+    """
+    top, bot = _reflect_rows(x)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    left, right = _reflect_cols(x)
     return jnp.concatenate([left, x, right], axis=2)
 
 
@@ -178,22 +192,57 @@ def packed_conv3x3_reflect(x, kernel: jnp.ndarray,
     ordered like the unpacked concat; bias: (Cout,). Returns the packed
     (B,n,m,4Cout) output.
     """
-    if isinstance(x, (list, tuple)):
-        if segment_channels is None:
-            segment_channels = tuple(t.shape[-1] // 4 for t in x)
-        dt = dtype or x[0].dtype
-        xp = jnp.concatenate(
-            [reflect_pad_packed(t.astype(dt)) for t in x], axis=-1)
-        B, n, m = x[0].shape[0], x[0].shape[1], x[0].shape[2]
-    else:
-        dt = dtype or x.dtype
-        xp = reflect_pad_packed(x.astype(dt))
-        B, n, m, _ = x.shape
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    if segment_channels is None:
+        segment_channels = tuple(t.shape[-1] // 4 for t in xs)
+    dt = dtype or xs[0].dtype
+    xs = [t.astype(dt) for t in xs]
+    xcat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+    B, n, m, _ = xcat.shape
     cout = kernel.shape[-1]
     kp = pack_conv3x3_kernel(kernel, segment_channels).astype(dt)
-    y = jax.lax.conv_general_dilated(
-        xp, kp, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (B,n+1,m+1,4Cout)
+
+    def conv(lhs, rhs, padding):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # main conv with ZERO padding — the pad concats of
+    # reflect_pad_packed cost more than the conv itself on TPU
+    # (scripts/bench_packed_parts.py); the dropped reflect-pad
+    # contributions touch only the first/last output row/column and
+    # are restored by four 1-row/1-col mini-convs below.
+    y = conv(xcat, kp, ((1, 1), (1, 1)))  # (B,n+1,m+1,4Cout)
+
+    # reflect-adjusted pad blocks, built per segment (the phase slicing
+    # is only valid within one phase-major tensor)
+    tb = [_reflect_rows(t) for t in xs]
+    lr = [_reflect_cols(t) for t in xs]
+    cat = (lambda ts: ts[0] if len(ts) == 1
+           else jnp.concatenate(ts, axis=-1))
+    top, bot = cat([t for t, _ in tb]), cat([b for _, b in tb])
+    left, right = cat([l for l, _ in lr]), cat([r for _, r in lr])
+    # corner blocks via separability (column-reflect of the pad rows);
+    # per segment again
+    ctl, ctr = zip(*[_reflect_cols(t) for t, _ in tb])
+    cbl, cbr = zip(*[_reflect_cols(b) for _, b in tb])
+    ctl, ctr, cbl, cbr = cat(list(ctl)), cat(list(ctr)), \
+        cat(list(cbl)), cat(list(cbr))
+
+    # row corrections carry their corner contributions (1x2 VALID conv
+    # over the corner-extended pad row); column corrections are
+    # zero-extended so every pad contribution is counted exactly once
+    corr_t = conv(jnp.concatenate([ctl, top, ctr], axis=2),
+                  kp[0:1], "VALID")            # (B,1,m+1,4Cout)
+    corr_b = conv(jnp.concatenate([cbl, bot, cbr], axis=2),
+                  kp[1:2], "VALID")
+    corr_l = conv(left, kp[:, 0:1], ((1, 1), (0, 0)))  # (B,n+1,1,4Cout)
+    corr_r = conv(right, kp[:, 1:2], ((1, 1), (0, 0)))
+    y = y.at[:, :1].add(corr_t)
+    y = y.at[:, -1:].add(corr_b)
+    y = y.at[:, :, :1].add(corr_l)
+    y = y.at[:, :, -1:].add(corr_r)
+
     # phase (a,b) lives in channel block g=a*2+b, read at offset (a,b)
     parts = [y[:, a:a + n, b:b + m,
                (a * 2 + b) * cout:(a * 2 + b + 1) * cout]

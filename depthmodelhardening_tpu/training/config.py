@@ -68,6 +68,11 @@ class AdvSynthConfig:
     # None = reference full-frame model pass in the PGD loop
     attack_crop_w: Optional[int] = None
     attack_crop_h: Optional[int] = None
+    # inner-loop objective from the scale-s disparity head (0 =
+    # reference disp0 objective; attacks/base.py attack_scale), with
+    # the last attack_scale_fine_steps inner steps back at disp0
+    attack_scale: int = 0
+    attack_scale_fine_steps: int = 1
     # EoT warp tile size (attacks/base.py tile_h/tile_w)
     tile_h: int = 256
     tile_w: int = 256
@@ -137,6 +142,8 @@ class DistillConfig:
     obj_name: str = "BMW"
     attack_crop_w: Optional[int] = None
     attack_crop_h: Optional[int] = None
+    attack_scale: int = 0
+    attack_scale_fine_steps: int = 1
     tile_h: int = 256
     tile_w: int = 256
     s2d_stem: bool = False

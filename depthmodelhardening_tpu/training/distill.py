@@ -56,7 +56,9 @@ def build_attack(cfg: DistillConfig, predict_fn, obj_img, obj_mask):
         eval_pin_z0=6.1 if cfg.adv_type == "object_l0" else 7.0,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
         attack_crop_w=cfg.attack_crop_w,
-        attack_crop_h=cfg.attack_crop_h)
+        attack_crop_h=cfg.attack_crop_h,
+        attack_scale=cfg.attack_scale,
+        attack_scale_fine_steps=cfg.attack_scale_fine_steps)
     if cfg.adv_type == "object":
         return PGDObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,
                                eps=cfg.epsilon, alpha=cfg.alpha,
@@ -95,6 +97,16 @@ class DistillTrainer:
         self.attack = build_attack(cfg, student_predict,
                                    jnp.asarray(obj_img),
                                    jnp.asarray(obj_mask))
+        if cfg.attack_scale and cfg.adv_type != "image":
+            s = cfg.attack_scale
+
+            def student_predict_scale(variables, images):
+                _, outs = self.model.apply(
+                    variables, images, train=False,
+                    method="features_and_disps")
+                return outs[("disp", s)]
+
+            self.attack.predict_scale_fn = student_predict_scale
         self.tx = optax.adam(cfg.learning_rate)
 
         if init_variables is None:

@@ -142,7 +142,9 @@ class HardeningTrainer:
             ori_h=cfg.adv.ori_h, ori_w=cfg.adv.ori_w,
             tile_h=cfg.adv.tile_h, tile_w=cfg.adv.tile_w,
             attack_crop_w=cfg.adv.attack_crop_w,
-            attack_crop_h=cfg.adv.attack_crop_h)
+            attack_crop_h=cfg.adv.attack_crop_h,
+            attack_scale=cfg.adv.attack_scale,
+            attack_scale_fine_steps=cfg.adv.attack_scale_fine_steps)
         if cfg.adv.norm_type == "l_inf":
             self.attack = PGDObjectAttack(
                 student_predict, obj_img, obj_mask, atk_cfg,
@@ -155,6 +157,16 @@ class HardeningTrainer:
                 mask_wt=cfg.adv.mask_wt, l0_thresh=cfg.adv.l0_thresh)
         else:
             raise ValueError(f"unknown norm_type {cfg.adv.norm_type}")
+        if cfg.adv.attack_scale:
+            sc = cfg.adv.attack_scale
+
+            def student_predict_scale(variables, images):
+                _, outs = self.model.apply(
+                    variables, images, train=False,
+                    method="features_and_disps")
+                return outs[("disp", sc)]
+
+            self.attack.predict_scale_fn = student_predict_scale
 
         K, inv_K = _scaled_K(ss.height, ss.width)
         self._K = jnp.asarray(K)

@@ -1,0 +1,131 @@
+"""All three training-step throughput configs in ONE run (one v5e chip):
+
+  distill_linf    BASELINE config 3 headline (bench.py): PGD-10 L-inf
+                  object attack + teacher fwd + student fwd/bwd + Adam
+  distill_l0      the SAME distill step with the paper recipe's L0
+                  attack (norm_type l_0, reference README.md:87-103) —
+                  the config whose hardening effect the longrun demo
+                  evidences (-50.8% attack-induced depth error); runs
+                  2x attack iterations with dual patterns + Adam, so it
+                  is reported separately from the headline
+  hardening_full  BASELINE config 4: the full ICLR'23 hardening step
+                  (L0 texture refresh + supervised_adv + contrastive +
+                  min-reprojection photometric + Adam) at 1024x320
+
+All at batch 32, 1024x320 model resolution, bf16 compute, the measured
+perf flags of bench.py. Prints one JSON line per config.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_configs.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".cache_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from depthmodelhardening_tpu.data.synthetic import make_car_object, make_scene
+from depthmodelhardening_tpu.models.wrappers import (
+    init_monodepth2, predictor_from,
+)
+from depthmodelhardening_tpu.training.config import (
+    AdvSynthConfig, DistillConfig, HardeningConfig, SelfSupConfig,
+)
+from depthmodelhardening_tpu.training.distill import DistillTrainer
+from depthmodelhardening_tpu.training.hardening import HardeningTrainer
+
+BATCH = 32
+H, W = 320, 1024
+ORI_H, ORI_W = 375, 1242
+PERF = dict(attack_crop_w=384, attack_crop_h=256, s2d_stem=True)
+
+
+def measure(step, *args, iters=5, warmup=2, key0=100):
+    out = None
+    for i in range(warmup):
+        out = step(jax.random.PRNGKey(10 + i))
+    float(jax.tree_util.tree_leaves(out)[0])  # tunnel sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(jax.random.PRNGKey(key0 + i))
+    float(jax.tree_util.tree_leaves(out)[0])
+    return BATCH * iters / (time.perf_counter() - t0)
+
+
+def bench_distill(adv_type, teacher, tvars, extra=()):
+    obj, mask = make_car_object(300, 200, seed=0)
+    cfg = DistillConfig(adv_type=adv_type, epsilon=0.1, alpha=0.005,
+                        steps=10, batch_size=BATCH,
+                        scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
+                        compute_dtype="bfloat16", **PERF,
+                        **dict(extra))
+    trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
+                             teacher)
+    state = [trainer.make_state()]
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+
+    def step(rng):
+        state[0], metrics = trainer.train_step(state[0], scenes, rng)
+        return metrics["loss"]
+
+    return measure(step)
+
+
+def bench_hardening(teacher, tvars, extra=()):
+    obj, mask = make_car_object(300, 200, seed=0)
+    cfg = HardeningConfig(
+        selfsup=SelfSupConfig(height=H, width=W, frame_ids=("0", "s")),
+        adv=AdvSynthConfig(norm_type="l_0", steps=10,
+                           attack_batch_size=BATCH,
+                           ori_h=ORI_H, ori_w=ORI_W,
+                           attack_crop_w=PERF["attack_crop_w"],
+                           attack_crop_h=PERF["attack_crop_h"]),
+        supervised_adv=True, contrastive_learning=True,
+        batch_size=BATCH, compute_dtype="bfloat16",
+        s2d_stem=True, **dict(extra))
+    trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                               teacher=teacher, steps_per_epoch=1000)
+    state = [trainer.make_state()]
+    frames = {"0": jnp.asarray(make_scene(BATCH, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(BATCH, ORI_H, ORI_W, seed=1))}
+    side = jnp.ones((BATCH,), bool)
+    flip = jnp.zeros((BATCH,), bool)
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+
+    def step(rng):
+        state[0], metrics = trainer.train_step(
+            state[0], frames, side, flip, scenes, rng)
+        return metrics["loss"]
+
+    return measure(step, iters=3)
+
+
+def main():
+    which = set(sys.argv[1:]) or {"linf", "l0", "hard"}
+    packed = (("packed_decoder", True),)
+    teacher_model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W,
+                                           dtype=jnp.bfloat16)
+    teacher = predictor_from(teacher_model, tvars)
+    if "linf" in which:
+        v = bench_distill("object", teacher, tvars, extra=packed)
+        print(json.dumps({"config": "distill_linf_pgd10",
+                          "imgs_per_sec": round(v, 2)}), flush=True)
+    if "l0" in which:
+        v = bench_distill("object_l0", teacher, tvars, extra=packed)
+        print(json.dumps({"config": "distill_l0_10",
+                          "imgs_per_sec": round(v, 2)}), flush=True)
+    if "hard" in which:
+        v = bench_hardening(teacher, tvars, extra=packed)
+        print(json.dumps({"config": "hardening_full_l0",
+                          "imgs_per_sec": round(v, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

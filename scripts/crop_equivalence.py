@@ -56,15 +56,29 @@ def main():
         dist_range=tuple(float(x) for x in EVAL_DIST_RANGE),
         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W)
 
+    def predict_scale(s):
+        def fn(v, images):
+            _, outs = model.apply(v, images, train=False,
+                                  method="features_and_disps")
+            return outs[("disp", s)]
+        return fn
+
     results = {}
-    for crop_w, crop_h in ((None, None), (512, None), (512, 256),
-                           (384, 256)):
-        crop = f"{crop_w}x{crop_h}"
+    for crop_w, crop_h, scale, fine in (
+            (None, None, 0, 0), (512, None, 0, 0), (512, 256, 0, 0),
+            (384, 256, 0, 0), (384, 256, 1, 0), (384, 256, 1, 1),
+            (384, 256, 2, 0), (384, 256, 2, 1), (384, 256, 2, 2)):
+        crop = (f"{crop_w}x{crop_h}"
+                + (f"s{scale}f{fine}" if scale else ""))
         cfg = dataclasses.replace(base, attack_crop_w=crop_w,
-                                  attack_crop_h=crop_h)
+                                  attack_crop_h=crop_h,
+                                  attack_scale=scale,
+                                  attack_scale_fine_steps=fine)
         atk = PGDObjectAttack(predictor.apply_fn, jnp.asarray(obj),
                               jnp.asarray(mask), cfg,
                               eps=0.1, alpha=0.005, steps=10)
+        if scale:
+            atk.predict_scale_fn = predict_scale(scale)
         rows = []
         for i in range(N_SCENES):
             scene = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=10 + i))

@@ -184,6 +184,57 @@ def test_attack_crop_w_cost_and_effectiveness(tiny, scene):
     assert cost_adv <= cost_ben + 1e-7
 
 
+def test_attack_scale_objective(tiny, scene):
+    """attack_scale=1: the objective read from a half-resolution head
+    (with the mask pooled to match) tracks the disp0 objective, and a
+    missing predict_scale_fn is rejected."""
+    import dataclasses
+
+    from depthmodelhardening_tpu.data.synthetic import make_car_object
+    from depthmodelhardening_tpu.ops.resize import bilinear_resize
+
+    obj, mask = make_car_object(width=OBJ_W, height=OBJ_H, seed=3)
+    cfg = PhysObjAttackConfig(obj_h=OBJ_H, obj_w=OBJ_W, scene_h=96,
+                              scene_w=320, ori_h=375, ori_w=1242,
+                              tile_h=64, tile_w=128)
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, attack_scale=3)
+    cfg_s1 = dataclasses.replace(cfg, attack_scale=1)
+
+    full = PGDObjectAttack(tiny.predict, obj, mask, cfg,
+                           eps=0.1, alpha=0.05, steps=2)
+    s1 = PGDObjectAttack(tiny.predict, obj, mask, cfg_s1,
+                         eps=0.1, alpha=0.05, steps=2)
+
+    rng = jax.random.PRNGKey(0)
+    scenes = jnp.broadcast_to(scene, (2,) + scene.shape[1:])
+    z0s, alphas = full._sample_za(rng, 2)
+    adv_scenes, masks = full._model_view(scenes, obj, z0s, alphas)
+
+    with pytest.raises(ValueError):
+        s1._targeted_cost(tiny.variables, adv_scenes, masks)
+
+    # a perfectly scale-consistent "head": the pooled disp0
+    def predict_half(variables, images):
+        d = tiny.predict(variables, images)
+        return bilinear_resize(d, d.shape[1] // 2, d.shape[2] // 2)
+
+    s1.predict_scale_fn = predict_half
+    c_full = float(full._targeted_cost(tiny.variables, adv_scenes,
+                                       masks))
+    c_s1 = float(s1._targeted_cost(tiny.variables, adv_scenes, masks))
+    assert abs(c_full - c_s1) / c_full < 0.1
+
+    # the scale-1 attack still optimizes the true (disp0) objective
+    adv, ben, masks_out, obj_adv = s1(tiny.variables, scene, 2,
+                                      jax.random.PRNGKey(1))
+    d_adv = tiny.predict(tiny.variables, adv)
+    d_ben = tiny.predict(tiny.variables, ben)
+    cost_adv = float(jnp.mean((d_adv * masks_out) ** 2))
+    cost_ben = float(jnp.mean((d_ben * masks_out) ** 2))
+    assert cost_adv <= cost_ben + 1e-7
+
+
 def test_attack_crop_rect_cost_parity(tiny, scene):
     """attack_crop_h x attack_crop_w rectangular crop: the rescaled
     cost matches the full-frame objective and invalid heights are

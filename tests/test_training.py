@@ -149,6 +149,22 @@ def test_distill_step_updates_params(small_teacher):
     assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
 
 
+def test_distill_step_attack_scale_packed(small_teacher):
+    """The TPU perf flags together: packed decoder + scale-1 attack
+    objective drive a full distill step through the real model."""
+    obj, mask = make_car_object(OBJ_W, OBJ_H, seed=3)
+    cfg = DistillConfig(adv_type="object", steps=2, batch_size=2,
+                        scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
+                        attack_scale=1, packed_decoder=True)
+    tr = DistillTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                        small_teacher)
+    assert tr.attack.predict_scale_fn is not None
+    state = tr.make_state()
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=5))
+    state, metrics = tr.train_step(state, scenes, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 @pytest.mark.slow
 def test_distill_image_attack_step(small_teacher):
     cfg = DistillConfig(adv_type="image", steps=2, batch_size=2,
