@@ -49,12 +49,16 @@ def main():
     ap.add_argument("--attack-scale", type=int, default=None,
                     help="override the measured-default attack_scale")
     ap.add_argument("--packed-decoder", action="store_true")
+    ap.add_argument("--no-wpack-decoder", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
     rng = jax.random.PRNGKey(0)
-    teacher_model, teacher_vars = init_monodepth2(rng, H, W,
-                                                  dtype=jnp.bfloat16)
+    # The teacher only supplies disp0 pseudo-GT: run it scales=(0,)
+    # with the same exact perf rewrites as the student (same params).
+    teacher_model, teacher_vars = init_monodepth2(
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), s2d_stem=True,
+        wpack_decoder=not args.no_wpack_decoder)
     teacher = predictor_from(teacher_model, teacher_vars)
 
     obj, mask = make_car_object(300, 200, seed=0)
@@ -75,6 +79,10 @@ def main():
                         attack_scale=(0 if args.attack_scale is None
                                       else args.attack_scale),
                         packed_decoder=args.packed_decoder,
+                        # width-packed decoder stages: exact, measured
+                        # 2-4x on the lane-starved convs
+                        # (ops/wpack_decoder.py)
+                        wpack_decoder=not args.no_wpack_decoder,
                         s2d_stem=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)

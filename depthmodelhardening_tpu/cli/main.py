@@ -190,7 +190,17 @@ def cmd_train_distill(args):
                         attack_scale_fine_steps=args.attack_scale_fine_steps,
                         s2d_stem=args.s2d_stem,
                         fuse_upconv=args.fuse_upconv,
-                        packed_decoder=args.packed_decoder)
+                        packed_decoder=args.packed_decoder,
+                        wpack_decoder=args.wpack_decoder)
+    # The frozen teacher only ever supplies disp0 pseudo-GT, so run it
+    # through a scales=(0,) twin with the same exact perf rewrites
+    # (same parameter tree; the extra heads in `variables` are ignored).
+    from ..models.wrappers import make_monodepth2, predictor_from
+    teacher_model = make_monodepth2(
+        num_layers=args.num_layers, scales=(0,),
+        s2d_stem=cfg.s2d_stem, wpack_decoder=cfg.wpack_decoder,
+        packed_decoder=cfg.packed_decoder, fuse_upconv=cfg.fuse_upconv)
+    teacher = predictor_from(teacher_model, teacher.variables)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
                              car_mask, teacher,
                              init_variables=variables)
@@ -325,7 +335,8 @@ def cmd_train_hardening(args):
         model_family=args.model_family,
         manydepth_real_lookup=args.manydepth_real_lookup,
         s2d_stem=args.s2d_stem, fuse_upconv=args.fuse_upconv,
-        packed_decoder=args.packed_decoder)
+        packed_decoder=args.packed_decoder,
+        wpack_decoder=args.wpack_decoder)
 
     lines = load_split(args.split_dir, args.split, "train")
     ds = KittiRawDataset(args.data_path, lines, frame_ids=frame_ids,
@@ -487,8 +498,11 @@ def _add_perf_args(p):
                         "objective (coarse-to-fine)")
     p.add_argument("--packed-decoder", action="store_true",
                    help="exact channel-major (space-to-depth) decoder "
-                        "stages (ops/packed_decoder.py; the measured "
-                        "TPU win, docs/PERFORMANCE.md)")
+                        "stages (ops/packed_decoder.py)")
+    p.add_argument("--wpack-decoder", action="store_true",
+                   help="exact WIDTH-packed decoder stages "
+                        "(ops/wpack_decoder.py; the measured TPU win, "
+                        "docs/PERFORMANCE.md)")
 
 
 def build_parser():

@@ -126,9 +126,12 @@ class DepthDecoder(nn.Module):
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
     packed: bool = False
+    wpacked: bool = False
 
     @nn.compact
     def __call__(self, input_features) -> Dict[Tuple[str, int], jnp.ndarray]:
+        if self.wpacked:
+            return self._call_wpacked(input_features)
         if self.packed:
             return self._call_packed(input_features)
         outputs = {}
@@ -229,6 +232,91 @@ class DepthDecoder(nn.Module):
             xhat, k0b.astype(self.dtype), b0b.astype(self.dtype)))
         if 0 in self.scales:
             outputs[("disp", 0)] = packed_disp(xhat, NUM_CH_DEC[0], 0)
+        return outputs
+
+    def _call_wpacked(self, input_features) -> Dict[Tuple[str, int],
+                                                    jnp.ndarray]:
+        """Stages 4..2 naive (channels >= 64); stages 1 and 0 on
+        WIDTH-packed activations (ops/wpack_decoder.py): the packing is
+        a contiguous reshape (no transposes), every hot conv runs with
+        >= 128 effective lanes, and the layout is held from each
+        upconv_i_1 through its disparity head. Exact to float
+        associativity; same parameter tree
+        (tests/test_packed_decoder.py)."""
+        from ..ops.wpack_decoder import (
+            wpack, wpack_conv3x3_reflect, wunpack,
+        )
+
+        def pick_f(cout, W):
+            f = max(1, min(8, 128 // max(cout, 1)))
+            while f > 1 and (W % f or W // f < 2):
+                f //= 2
+            return f
+
+        outputs = {}
+        x = input_features[-1].astype(self.dtype)
+        for i in (4, 3, 2):
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_0")(x)
+            x = nearest_upsample2(x)
+            if self.use_skips:
+                x = jnp.concatenate(
+                    [x, input_features[i - 1].astype(self.dtype)], -1)
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_1")(x)
+            if i in self.scales:
+                disp = Conv3x3(self.num_output_channels,
+                               dtype=self.dtype,
+                               name=f"dispconv_{i}")(x)
+                outputs[("disp", i)] = nn.sigmoid(
+                    disp.astype(jnp.float32))
+
+        def wconv(segs, cout, name, f, seg_ch=None):
+            k, b = _ConvBlockParams(cout, sum(
+                t.shape[-1] // f for t in segs) if seg_ch is None
+                else sum(seg_ch), name=name)()
+            return wpack_conv3x3_reflect(
+                segs if len(segs) > 1 else segs[0],
+                k.astype(self.dtype), b.astype(self.dtype), f=f,
+                segment_channels=seg_ch)
+
+        def wdisp(xh, ch, f, i):
+            k, b = _Conv3x3Params(self.num_output_channels, ch,
+                                  name=f"dispconv_{i}")()
+            d = wpack_conv3x3_reflect(xh, k.astype(self.dtype),
+                                      b.astype(self.dtype), f=f)
+            return nn.sigmoid(wunpack(d, f).astype(jnp.float32))
+
+        # i=1
+        W = x.shape[2]
+        f = pick_f(NUM_CH_DEC[1], W)
+        xh = nn.elu(wconv([wpack(x, f)], NUM_CH_DEC[1],
+                          "upconv_1_0", f))
+        xu = nearest_upsample2(wunpack(xh, f))
+        W = xu.shape[2]
+        f1 = pick_f(NUM_CH_DEC[1], W)
+        if self.use_skips:
+            skip = input_features[0].astype(self.dtype)
+            segs = [wpack(xu, f1), wpack(skip, f1)]
+            seg_ch = (xu.shape[-1], skip.shape[-1])
+        else:
+            segs, seg_ch = [wpack(xu, f1)], (xu.shape[-1],)
+        xh1 = nn.elu(wconv(segs, NUM_CH_DEC[1], "upconv_1_1", f1,
+                           seg_ch))
+        if 1 in self.scales:
+            outputs[("disp", 1)] = wdisp(xh1, NUM_CH_DEC[1], f1, 1)
+
+        # i=0 (repack f1 -> f0 is again a contiguous reshape)
+        f0a = pick_f(NUM_CH_DEC[0], W)
+        xh0 = nn.elu(wconv([wpack(wunpack(xh1, f1), f0a)],
+                           NUM_CH_DEC[0], "upconv_0_0", f0a))
+        xu0 = nearest_upsample2(wunpack(xh0, f0a))
+        W0 = xu0.shape[2]
+        f0 = pick_f(NUM_CH_DEC[0], W0)
+        xh0 = nn.elu(wconv([wpack(xu0, f0)], NUM_CH_DEC[0],
+                           "upconv_0_1", f0))
+        if 0 in self.scales:
+            outputs[("disp", 0)] = wdisp(xh0, NUM_CH_DEC[0], f0, 0)
         return outputs
 
 

@@ -38,6 +38,7 @@ class MonodepthModel(nn.Module):
     fuse_upconv: bool = False
     s2d_stem: bool = False
     packed_decoder: bool = False
+    wpack_decoder: bool = False
 
     def setup(self):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
@@ -48,6 +49,7 @@ class MonodepthModel(nn.Module):
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,
                                     packed=self.packed_decoder,
+                                    wpacked=self.wpack_decoder,
                                     name="decoder")
 
     def __call__(self, x, train: bool = False):
@@ -82,15 +84,19 @@ class DepthPredictor:
 
 def make_monodepth2(num_layers: int = 18,
                     scales: Sequence[int] = (0, 1, 2, 3),
-                    dtype=jnp.float32) -> MonodepthModel:
+                    dtype=jnp.float32, **perf_flags) -> MonodepthModel:
+    """perf_flags: s2d_stem / wpack_decoder / packed_decoder /
+    fuse_upconv — exact flag-gated rewrites, same parameter tree."""
     return MonodepthModel(num_layers=num_layers, scales=scales,
-                          dtype=dtype)
+                          dtype=dtype, **perf_flags)
 
 
 def init_monodepth2(rng, height: int = 320, width: int = 1024,
-                    num_layers: int = 18, dtype=jnp.float32):
+                    num_layers: int = 18, dtype=jnp.float32,
+                    **perf_flags):
     """Initialize a MonodepthModel; returns (module, variables)."""
-    model = make_monodepth2(num_layers=num_layers, dtype=dtype)
+    model = make_monodepth2(num_layers=num_layers, dtype=dtype,
+                            **perf_flags)
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     return model, variables
@@ -122,6 +128,7 @@ class ManyDepthModel(nn.Module):
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
     packed_decoder: bool = False
+    wpack_decoder: bool = False
 
     def setup(self):
         from .matching_encoder import ResnetEncoderMatching
@@ -135,6 +142,7 @@ class ManyDepthModel(nn.Module):
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,
                                     packed=self.packed_decoder,
+                                    wpacked=self.wpack_decoder,
                                     name="decoder")
 
     def __call__(self, x, K, invK, min_depth_bin=0.1,
@@ -188,6 +196,7 @@ class ManyDepthTrainModel(nn.Module):
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
     packed_decoder: bool = False
+    wpack_decoder: bool = False
 
     def setup(self):
         from .matching_encoder import ResnetEncoderMatching
@@ -203,6 +212,7 @@ class ManyDepthTrainModel(nn.Module):
                                     dtype=self.dtype,
                                     fuse_upconv=self.fuse_upconv,
                                     packed=self.packed_decoder,
+                                    wpacked=self.wpack_decoder,
                                     name="decoder")
 
     def _quarter_K(self, B):

@@ -1,0 +1,249 @@
+"""Width-packed decoder convs — exact, transpose-free channel widening.
+
+The decoder's 16/32-channel convs run at the PADDED-lane MXU roofline
+on TPU: a (B,H,W,16) NHWC conv pads both channel dims 16 -> 128, an
+8x8 = 64x FLOP waste that XLA executes at ~83% of the padded peak
+(scripts/bench_packed_parts.py) — the conv is "efficient" at doing 64x
+nothing. The 2x2 space-to-depth packing (ops/packed_decoder.py) fixes
+the lanes but pays lane<->sublane transposes (pack2 ~2.4 ms per 335 MB
+tensor) that eat the win end-to-end; batch-folded grouped convs lower
+~7x SLOWER (scripts/bench_group_conv.py).
+
+This module packs along WIDTH ONLY: (B, H, W, C) -> (B, H, W/f, f*C)
+is a PURE CONTIGUOUS RESHAPE (W and C are adjacent in row-major NHWC),
+so entering/leaving the layout costs nothing. A reflect-padded 3x3
+conv on the original tensor is EXACTLY a 3x2 conv on the width-packed
+tensor with a phase-blocked kernel built from the same (3,3,Cin,Cout)
+parameters:
+
+  output phase b (orig col f*j+b) taps orig cols f*j+b-1 .. f*j+b+1,
+  which live in packed blocks (j-1, j) for b=0 and (j, j+1) for
+  b=f-1 (interior phases touch only block j). One conv with zero col
+  padding (1,1) produces W/f+1 positions; phase groups b<f-1 read
+  positions 0..M-1 and group f-1 reads 1..M (two contiguous channel-
+  block slices). Rows are NOT packed, so the row dimension keeps plain
+  3-tap structure, and the reflect pad is built directly in packed
+  space: reflected rows verbatim, plus one pad block per side whose
+  single tapped phase slot carries the reflected column — a single
+  padded copy + VALID conv, no correction passes.
+
+f=8 with C=16 gives 128 exact input lanes (dense-kernel FLOP overhead
+3*2*f/(9) = 2/3*f; the 4-8x lane win dominates at C<=32).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def wpack(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H,W/f,f*C); channel index = q*C + c for width
+    phase q. A contiguous reshape — no data movement."""
+    B, H, W, C = x.shape
+    if W % f:
+        raise ValueError(f"W={W} not divisible by f={f}")
+    return x.reshape(B, H, W // f, f * C)
+
+
+def wunpack(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of wpack."""
+    B, H, M, FC = x.shape
+    return x.reshape(B, H, M * f, FC // f)
+
+
+def wpack_conv3x3_kernel(kernel: jnp.ndarray, f: int,
+                         segment_channels: Optional[Sequence[int]] = None
+                         ) -> jnp.ndarray:
+    """(3,3,Cin,Cout) -> (3,2,f*Cin,f*Cout) width-phase-blocked kernel.
+
+    Input channels are phase-major per SEGMENT (q*C_seg + c), matching
+    wpack of each concatenated tensor; output channels phase-major over
+    the whole Cout. Window convention: phase b reads conv position j
+    for b < f-1 (window = packed blocks (j-1, j)) and position j+1 for
+    b = f-1 (window = (j, j+1)).
+    """
+    Cin, Cout = kernel.shape[2], kernel.shape[3]
+    if segment_channels is None:
+        segment_channels = (Cin,)
+    assert sum(segment_channels) == Cin
+
+    # (b, wc, q) -> dx tap index or None
+    def tap(b, wc, q):
+        if b < f - 1:
+            # window blocks (j-1, j): wc=0 -> block j-1, wc=1 -> block j
+            rel = (wc - 1) * f + q  # orig col offset from f*j
+        else:
+            # window blocks (j, j+1)
+            rel = wc * f + q
+        dx = rel - (b - 1)
+        return dx if 0 <= dx <= 2 else None
+
+    zeros = {}
+
+    def w_or_zero(wr, dx, c0, C):
+        if dx is None:
+            if C not in zeros:
+                zeros[C] = jnp.zeros((C, Cout), kernel.dtype)
+            return zeros[C]
+        return kernel[wr, dx, c0:c0 + C]
+
+    rows = []
+    for wr in range(3):
+        cols = []
+        for wc in range(2):
+            in_blocks = []
+            c0 = 0
+            for C in segment_channels:
+                for q in range(f):
+                    out_blocks = [w_or_zero(wr, tap(b, wc, q), c0, C)
+                                  for b in range(f)]
+                    in_blocks.append(
+                        jnp.concatenate(out_blocks, axis=1))
+                c0 += C
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)  # (3,2,f*Cin,f*Cout)
+
+
+def wpack_conv3x3_kernel33(kernel: jnp.ndarray, f: int,
+                           segment_channels: Optional[Sequence[int]] = None
+                           ) -> jnp.ndarray:
+    """(3,3,Cin,Cout) -> (3,3,f*Cin,f*Cout): the 3x2 phase-blocked
+    kernel with the phase REGROUP folded in.
+
+    The 3x2 conv produces M+1 positions whose phase groups are read at
+    shifted positions (b < f-1 at j, b = f-1 at j+1). Folding the shift
+    into the taps gives a single VALID 3x3 conv producing the final M
+    positions directly — no post-conv regroup concat:
+
+      out[j].A = xe[j] kp[:,0].A + xe[j+1] kp[:,1].A
+      out[j].B = xe[j+1] kp[:,0].B + xe[j+2] kp[:,1].B
+
+    where A = output lanes [0, (f-1)*Cout) and B = the rest.
+    """
+    kp = wpack_conv3x3_kernel(kernel, f, segment_channels)
+    A = (f - 1) * kernel.shape[3]
+    z0 = jnp.zeros_like(kp[:, 0, :, :A])
+    z1 = jnp.zeros_like(kp[:, 0, :, A:])
+    c0 = jnp.concatenate([kp[:, 0, :, :A], z1], axis=-1)
+    c1 = jnp.concatenate([kp[:, 1, :, :A], kp[:, 0, :, A:]], axis=-1)
+    c2 = jnp.concatenate([z0, kp[:, 1, :, A:]], axis=-1)
+    return jnp.stack([c0, c1, c2], axis=1)  # (3,3,f*Cin,f*Cout)
+
+
+def _left_right_cols(x: jnp.ndarray, f: int, C_seg: Sequence[int]):
+    """Reflect-adjusted pad block columns of a width-packed tensor.
+
+    Only one phase slot of each pad block is ever tapped: the left pad
+    block's q=f-1 slot (orig col -1 -> reflect -> col 1 = block 0
+    phase 1) and the right pad block's q=0 slot (orig col W -> reflect
+    -> col W-2 = block M-1 phase f-2). The other slots are zeros
+    (structurally untapped). Built per segment.
+    """
+    B, H, M, _ = x.shape
+    lefts, rights = [], []
+    c0 = 0
+    for C in C_seg:
+        seg = x[..., c0 * f:(c0 + C) * f]
+        z = jnp.zeros((B, H, 1, (f - 1) * C), seg.dtype)
+        # left pad block: lanes [(f-1)C, fC) <- block 0, phase q=1
+        lefts.append(jnp.concatenate(
+            [z, seg[:, :, 0:1, C:2 * C]], axis=-1))
+        # right pad block: lanes [0, C) <- block M-1, phase q=f-2
+        rights.append(jnp.concatenate(
+            [seg[:, :, M - 1:M, (f - 2) * C:(f - 1) * C], z], axis=-1))
+        c0 += C
+    cat = (lambda ts: ts[0] if len(ts) == 1
+           else jnp.concatenate(ts, axis=-1))
+    return cat(lefts), cat(rights)
+
+
+def wpack_conv3x3_reflect(x, kernel: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          f: int = 8,
+                          segment_channels: Optional[Sequence[int]] = None,
+                          dtype=None) -> jnp.ndarray:
+    """wpack(conv3x3(reflect_pad1(X)) + bias, f) given wpack(X, f).
+
+    x: (B,H,M,f*Cin) width-packed input, or a LIST of width-packed
+    tensors (channel concat, e.g. [up, skip]); kernel: (3,3,Cin,Cout)
+    ORIGINAL parameters ordered like the unpacked concat; bias:
+    (Cout,). Returns the width-packed (B,H,M,f*Cout) output.
+    """
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    if segment_channels is None:
+        segment_channels = tuple(t.shape[-1] // f for t in xs)
+    dt = dtype or xs[0].dtype
+    xs = [t.astype(dt) for t in xs]
+    xcat = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+    B, H, M, _ = xcat.shape
+    cout = kernel.shape[-1]
+
+    def conv(lhs, rhs, padding):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # Two exact strategies, chosen by measured regime (v5e, b32 bf16,
+    # scripts/bench_wpack.py):
+    #
+    # "pad": build the reflect pad DIRECTLY in packed space — rows are
+    # unpacked (reflect row -1 = row 1 verbatim), and of the col pad
+    # blocks only one phase slot is ever tapped (left q=f-1 by output
+    # phase 0, right q=0 by phase f-1 — see tap()), which
+    # _left_right_cols fills with the reflected columns. One padded
+    # copy + one VALID conv, no post-hoc corrections. Row reflect
+    # commutes with the col extension so corner taps come out exactly
+    # once. Wins when the packed input is narrow (f*Cin <= 128 lanes:
+    # the padded copy is cheap, and it avoids four .at[].add
+    # full-tensor copies on the 128-lane output).
+    #
+    # "corr": zero-padded SAME conv + four 1-row/1-col mini-conv
+    # border corrections slice-added into y. Wins when the packed
+    # input is wide (f*Cin > 128: the padded input copy and its bwd
+    # cotangent dominate; 96->32 f=4 two-segment measured 9.7 vs
+    # 20.5 ms f+b).
+    if f * sum(segment_channels) <= 128:
+        k33 = wpack_conv3x3_kernel33(kernel, f,
+                                     segment_channels).astype(dt)
+        left, right = _left_right_cols(xcat, f, segment_channels)
+        xe = jnp.concatenate([left, xcat, right], axis=2)
+        xe = jnp.concatenate([xe[:, 1:2], xe, xe[:, H - 2:H - 1]],
+                             axis=1)  # (B,H+2,M+2,f*Cin)
+        # regroup folded into the taps: one VALID conv, final layout
+        out = conv(xe, k33, "VALID")  # (B,H,M,f*Cout)
+        if bias is not None:
+            out = out + jnp.tile(bias, f).astype(out.dtype)
+        return out
+    else:
+        kp = wpack_conv3x3_kernel(kernel, f, segment_channels).astype(dt)
+        y = conv(xcat, kp, ((1, 1), (1, 1)))  # (B,H,M+1,f*Cout)
+
+        def row_corr(row, kslice):
+            l, r = _left_right_cols(row, f, segment_channels)
+            return conv(jnp.concatenate([l, row, r], axis=2), kslice,
+                        "VALID")  # (B,1,M+1,f*Cout)
+
+        # pad row -1 reflects to row 1, row H to row H-2; each
+        # correction row is col-extended with ITS OWN pad blocks so
+        # the corners are counted there exactly once (col corrections
+        # below use zero row extension — inclusion-exclusion).
+        y = y.at[:, 0:1].add(row_corr(xcat[:, 1:2], kp[0:1]))
+        y = y.at[:, H - 1:H].add(row_corr(xcat[:, H - 2:H - 1],
+                                          kp[2:3]))
+        left, right = _left_right_cols(xcat, f, segment_channels)
+        y = y.at[:, :, 0:1].add(conv(left, kp[:, 0:1],
+                                     ((1, 1), (0, 0))))
+        y = y.at[:, :, M:M + 1].add(conv(right, kp[:, 1:2],
+                                         ((1, 1), (0, 0))))
+
+    # phase groups: b < f-1 at positions 0..M-1, b = f-1 at 1..M
+    out = jnp.concatenate(
+        [y[:, :, 0:M, :(f - 1) * cout], y[:, :, 1:M + 1, (f - 1) * cout:]],
+        axis=-1)
+    if bias is not None:
+        out = out + jnp.tile(bias, f).astype(out.dtype)
+    return out

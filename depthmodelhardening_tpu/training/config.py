@@ -122,6 +122,7 @@ class HardeningConfig:
     s2d_stem: bool = False
     fuse_upconv: bool = False
     packed_decoder: bool = False
+    wpack_decoder: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +150,7 @@ class DistillConfig:
     s2d_stem: bool = False
     fuse_upconv: bool = False
     packed_decoder: bool = False
+    wpack_decoder: bool = False
     scene_h: int = 320
     scene_w: int = 1024
     ori_h: int = 375

@@ -85,23 +85,36 @@ class DistillTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self.teacher = teacher
-        self.model = MonodepthModel(num_layers=num_layers,
-                                    dtype=jnp.dtype(cfg.compute_dtype),
-                                    s2d_stem=cfg.s2d_stem,
-                                    fuse_upconv=cfg.fuse_upconv,
-                                    packed_decoder=cfg.packed_decoder)
+        kw = dict(num_layers=num_layers,
+                  dtype=jnp.dtype(cfg.compute_dtype),
+                  s2d_stem=cfg.s2d_stem,
+                  fuse_upconv=cfg.fuse_upconv,
+                  packed_decoder=cfg.packed_decoder,
+                  wpack_decoder=cfg.wpack_decoder)
+        self.model = MonodepthModel(**kw)
+        # Every model pass in the distill step consumes ONLY disp0
+        # (attack objective phy_obj_atk.py:94; distill MSE
+        # simple_adv_training.py:133-137), so all applies run through a
+        # scales=(0,) twin that skips the scale-1..3 disparity heads
+        # (+ their grads). Exact: the unused heads see zero gradients
+        # in the reference too (torch leaves .grad None; our Adam
+        # update of a zero grad is 0), and flax ignores the extra
+        # params in the full tree. `self.model` keeps the full head
+        # set for init/checkpoints.
+        self.model_d0 = MonodepthModel(scales=(0,), **kw)
 
         def student_predict(variables, images):
-            return self.model.apply(variables, images, train=False)
+            return self.model_d0.apply(variables, images, train=False)
 
         self.attack = build_attack(cfg, student_predict,
                                    jnp.asarray(obj_img),
                                    jnp.asarray(obj_mask))
         if cfg.attack_scale and cfg.adv_type != "image":
             s = cfg.attack_scale
+            model_ds = MonodepthModel(scales=(s,), **kw)
 
             def student_predict_scale(variables, images):
-                _, outs = self.model.apply(
+                _, outs = model_ds.apply(
                     variables, images, train=False,
                     method="features_and_disps")
                 return outs[("disp", s)]
@@ -149,8 +162,8 @@ class DistillTrainer:
 
         def loss_fn(params, batch_stats):
             v = {"params": params, "batch_stats": batch_stats}
-            pred, mut = self.model.apply(v, adv, train=True,
-                                         mutable=["batch_stats"])
+            pred, mut = self.model_d0.apply(v, adv, train=True,
+                                            mutable=["batch_stats"])
             return jnp.mean((disp_gt - pred) ** 2), mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(
@@ -200,8 +213,8 @@ def eval_atk_perf(trainer: DistillTrainer, state, scenes_iter, rng,
                 student, scenes, trainer.cfg.batch_size, k,
                 eval_mode=True)
         disp_gt = teacher.apply_fn(teacher.variables, ben)
-        disp_pre = trainer.model.apply(student, ben, train=False)
-        disp_atk = trainer.model.apply(student, adv, train=False)
+        disp_pre = trainer.model_d0.apply(student, ben, train=False)
+        disp_atk = trainer.model_d0.apply(student, adv, train=False)
         if i == 0 and logger is not None:
             from ..utils.visualize import eval_depth_diff
 

@@ -107,13 +107,15 @@ class HardeningTrainer:
                 input_height=ss.height, input_width=ss.width,
                 num_depth_bins=cfg.manydepth_num_depth_bins,
                 dtype=dtype, fuse_upconv=cfg.fuse_upconv,
-                packed_decoder=cfg.packed_decoder)
+                packed_decoder=cfg.packed_decoder,
+                wpack_decoder=cfg.wpack_decoder)
         else:
             self.model = MonodepthModel(num_layers=cfg.num_layers,
                                         scales=ss.scales, dtype=dtype,
                                         s2d_stem=cfg.s2d_stem,
                                         fuse_upconv=cfg.fuse_upconv,
-                                        packed_decoder=cfg.packed_decoder)
+                                        packed_decoder=cfg.packed_decoder,
+                                        wpack_decoder=cfg.wpack_decoder)
         self.simsiam = SimSiam() if cfg.contrastive_learning else None
         self.use_pose = ss.use_pose_net
         if self.use_pose:
@@ -131,8 +133,15 @@ class HardeningTrainer:
         # attack on the student (trainer.py:224 set_adv_train(model2atk=
         # self.models["DepthModelWrapper"])), train-time distance range
         # (mono_dataset.py:149-158).
+        # The attack objective and the attack-eval predictor consume
+        # ONLY disp0 (phy_obj_atk.py:94), so the inner-loop passes run
+        # a scales=(0,) clone that skips the scale-1..3 disparity
+        # heads (+ their grads in the PGD loop). Exact — same
+        # parameter tree, unused head params are ignored by apply.
+        self.model_d0 = self.model.clone(scales=(0,))
+
         def student_predict(variables, images):
-            return self.model.apply(variables, images, train=False)
+            return self.model_d0.apply(variables, images, train=False)
 
         self._student_predict = student_predict
         atk_cfg = PhysObjAttackConfig(
@@ -159,9 +168,10 @@ class HardeningTrainer:
             raise ValueError(f"unknown norm_type {cfg.adv.norm_type}")
         if cfg.adv.attack_scale:
             sc = cfg.adv.attack_scale
+            model_ds = self.model.clone(scales=(sc,))
 
             def student_predict_scale(variables, images):
-                _, outs = self.model.apply(
+                _, outs = model_ds.apply(
                     variables, images, train=False,
                     method="features_and_disps")
                 return outs[("disp", sc)]

@@ -109,9 +109,11 @@ def bench_hardening(teacher, tvars, extra=()):
 
 def main():
     which = set(sys.argv[1:]) or {"linf", "l0", "hard"}
-    packed = (("packed_decoder", True),)
+    packed = (("wpack_decoder", True),)
     teacher_model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W,
-                                           dtype=jnp.bfloat16)
+                                           dtype=jnp.bfloat16,
+                                           scales=(0,), s2d_stem=True,
+                                           wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     if "linf" in which:
         v = bench_distill("object", teacher, tvars, extra=packed)

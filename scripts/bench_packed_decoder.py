@@ -44,8 +44,9 @@ def bench_decoder(H, W, label):
     feats = jax.jit(lambda v, x: enc.apply(v, x, train=False))(v_enc, x)
     feats = [jax.lax.stop_gradient(f) for f in feats]
 
-    for packed in (False, True):
-        dec = DepthDecoder(dtype=DT, packed=packed)
+    for packed in ("naive", "packed", "wpacked"):
+        dec = DepthDecoder(dtype=DT, packed=packed == "packed",
+                           wpacked=packed == "wpacked")
         v = dec.init(jax.random.PRNGKey(2), [f[:1] for f in feats])
 
         def fwd(v, feats):
@@ -61,7 +62,7 @@ def bench_decoder(H, W, label):
 
         g = jax.jit(jax.grad(loss, argnums=(0, 1)))
         t_b = timeit(g, v, feats)
-        print(f"{label} packed={int(packed)}: fwd {t_f:7.2f} ms   "
+        print(f"{label} {packed}: fwd {t_f:7.2f} ms   "
               f"fwd+bwd {t_b:7.2f} ms", flush=True)
 
 

@@ -77,6 +77,99 @@ def test_packed_segmented_concat_upsample_skip():
                                    atol=2e-4)
 
 
+def test_wpack_conv_matches_reflect_conv():
+    """Width-packed conv (ops/wpack_decoder.py): values and gradients
+    vs the reference reflect conv, across pack factors and segments."""
+    from depthmodelhardening_tpu.ops.wpack_decoder import (
+        wpack, wpack_conv3x3_reflect, wunpack,
+    )
+
+    rng = np.random.RandomState(4)
+    # f*Cin <= 128 exercises the direct-pad branch, > 128 the
+    # SAME+corrections branch (ops/wpack_decoder.py strategy switch)
+    for (H, W, Cin, Cout, f) in [(6, 16, 3, 5, 8), (8, 32, 16, 16, 8),
+                                 (5, 8, 2, 1, 4), (7, 12, 4, 6, 2),
+                                 (6, 16, 24, 8, 8), (5, 12, 96, 7, 4)]:
+        x = jnp.asarray(rng.randn(2, H, W, Cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, Cin, Cout), jnp.float32)
+        b = jnp.asarray(rng.randn(Cout), jnp.float32)
+        ref = _ref_conv(x, k, b)
+        got = wunpack(wpack_conv3x3_reflect(wpack(x, f), k, b, f=f), f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    a = jnp.asarray(rng.randn(2, 6, 16, 5), jnp.float32)
+    s = jnp.asarray(rng.randn(2, 6, 16, 9), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 14, 11), jnp.float32)
+
+    def ref(a, s, k):
+        return _ref_conv(jnp.concatenate([a, s], -1), k)
+
+    def wp(a, s, k):
+        return wunpack(wpack_conv3x3_reflect(
+            [wpack(a, 8), wpack(s, 8)], k, f=8), 8)
+
+    np.testing.assert_allclose(np.asarray(wp(a, s, k)),
+                               np.asarray(ref(a, s, k)), atol=2e-4)
+    gr = jax.grad(lambda *t: jnp.sum(jnp.sin(ref(*t))), (0, 1, 2))(a, s, k)
+    gw = jax.grad(lambda *t: jnp.sum(jnp.sin(wp(*t))), (0, 1, 2))(a, s, k)
+    for u, v in zip(gr, gw):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   atol=5e-4)
+
+    # two segments on the corrections branch (f*Cin = 384 > 128),
+    # the real upconv_1_1 regime (32 up + 64 skip, f=4)
+    a = jnp.asarray(rng.randn(2, 5, 12, 32), jnp.float32)
+    s = jnp.asarray(rng.randn(2, 5, 12, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 96, 6), jnp.float32)
+
+    def wp4(a, s, k):
+        return wunpack(wpack_conv3x3_reflect(
+            [wpack(a, 4), wpack(s, 4)], k, f=4), 4)
+
+    np.testing.assert_allclose(np.asarray(wp4(a, s, k)),
+                               np.asarray(ref(a, s, k)), atol=2e-3)
+    gr = jax.grad(lambda *t: jnp.sum(jnp.sin(ref(*t))), (0, 1, 2))(a, s, k)
+    gw = jax.grad(lambda *t: jnp.sum(jnp.sin(wp4(*t))), (0, 1, 2))(a, s, k)
+    for u, v in zip(gr, gw):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   atol=5e-3)
+
+
+def test_wpack_decoder_model_parity():
+    """Full MonodepthModel with wpack_decoder=True: same parameter
+    tree, same disparities and input gradients as the naive model."""
+    from depthmodelhardening_tpu.models.wrappers import MonodepthModel
+
+    H, W = 64, 96
+    naive = MonodepthModel(num_layers=18)
+    wp = MonodepthModel(num_layers=18, wpack_decoder=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, H, W, 3))
+    v = naive.init(jax.random.PRNGKey(1), x, train=False)
+    v2 = wp.init(jax.random.PRNGKey(1), x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    d_ref = naive.apply(v, x, train=False)
+    d_wp = wp.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(d_wp), np.asarray(d_ref),
+                               atol=1e-5)
+
+    g_ref = jax.grad(lambda x: jnp.sum(naive.apply(v, x) ** 2))(x)
+    g_wp = jax.grad(lambda x: jnp.sum(wp.apply(v, x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_wp), np.asarray(g_ref),
+                               atol=1e-5)
+
+    _, outs_ref = naive.apply(v, x, train=False,
+                              method=naive.features_and_disps)
+    _, outs_wp = wp.apply(v, x, train=False,
+                          method=wp.features_and_disps)
+    assert set(outs_ref) == set(outs_wp)
+    for key in outs_ref:
+        np.testing.assert_allclose(np.asarray(outs_wp[key]),
+                                   np.asarray(outs_ref[key]), atol=1e-5)
+
+
 def test_packed_decoder_model_parity():
     """Full MonodepthModel: packed_decoder=True shares the parameter
     tree and reproduces the naive model's disparities and input
