@@ -237,21 +237,19 @@ class DepthDecoder(nn.Module):
     def _call_wpacked(self, input_features) -> Dict[Tuple[str, int],
                                                     jnp.ndarray]:
         """Stages 4..2 naive (channels >= 64); stages 1 and 0 on
-        WIDTH-packed activations (ops/wpack_decoder.py): the packing is
-        a contiguous reshape (no transposes), every hot conv runs with
-        >= 128 effective lanes, and the layout is held from each
-        upconv_i_1 through its disparity head. Exact to float
-        associativity; same parameter tree
-        (tests/test_packed_decoder.py)."""
+        WIDTH-packed activations (ops/wpack_decoder.py) held END TO END:
+        enter the packed layout once at upconv_1_0 (f=2), upsample with
+        wlane_up2 (f 2->4 and 4->8 — pure lane duplication + outer-dim
+        row interleave), pack the skip once (f=4), and leave the layout
+        only for the final 1-channel disparities. The earlier
+        unpack -> jnp.repeat -> repack chain looked free ("contiguous
+        reshapes") but each (W,C)<->(M,fC) reshape is a full HBM
+        lane/sublane relayout on TPU — ~16 ms/pass at 320x1024 in
+        hlo_stats traces. Exact to float associativity; same parameter
+        tree (tests/test_packed_decoder.py)."""
         from ..ops.wpack_decoder import (
-            wpack, wpack_conv3x3_reflect, wunpack,
+            wlane_up2, wpack, wpack_conv3x3_reflect, wunpack,
         )
-
-        def pick_f(cout, W):
-            f = max(1, min(8, 128 // max(cout, 1)))
-            while f > 1 and (W % f or W // f < 2):
-                f //= 2
-            return f
 
         outputs = {}
         x = input_features[-1].astype(self.dtype)
@@ -287,36 +285,36 @@ class DepthDecoder(nn.Module):
                                       b.astype(self.dtype), f=f)
             return nn.sigmoid(wunpack(d, f).astype(jnp.float32))
 
-        # i=1
+        # f-schedule: f doubles through each wlane upsample so every
+        # conv input is 128-256 lanes and no relayout ever happens at
+        # the two largest scales. Any width the encoder accepts
+        # (multiples of 32) satisfies the schedule; guard for clarity.
         W = x.shape[2]
-        f = pick_f(NUM_CH_DEC[1], W)
-        xh = nn.elu(wconv([wpack(x, f)], NUM_CH_DEC[1],
-                          "upconv_1_0", f))
-        xu = nearest_upsample2(wunpack(xh, f))
-        W = xu.shape[2]
-        f1 = pick_f(NUM_CH_DEC[1], W)
+        if W % 8 or W // 8 < 1:
+            raise ValueError(f"wpacked decoder needs W/4 divisible by "
+                             f"2 (got scale-2 width {W})")
+
+        # i=1: enter packed at f=2 (64ch -> 128 lanes)
+        xh = nn.elu(wconv([wpack(x, 2)], NUM_CH_DEC[1],
+                          "upconv_1_0", 2))
+        xu = wlane_up2(xh, 2, NUM_CH_DEC[1])  # f=4 over 2W
         if self.use_skips:
             skip = input_features[0].astype(self.dtype)
-            segs = [wpack(xu, f1), wpack(skip, f1)]
-            seg_ch = (xu.shape[-1], skip.shape[-1])
+            segs = [xu, wpack(skip, 4)]
+            seg_ch = (NUM_CH_DEC[1], skip.shape[-1])
         else:
-            segs, seg_ch = [wpack(xu, f1)], (xu.shape[-1],)
-        xh1 = nn.elu(wconv(segs, NUM_CH_DEC[1], "upconv_1_1", f1,
+            segs, seg_ch = [xu], (NUM_CH_DEC[1],)
+        xh1 = nn.elu(wconv(segs, NUM_CH_DEC[1], "upconv_1_1", 4,
                            seg_ch))
         if 1 in self.scales:
-            outputs[("disp", 1)] = wdisp(xh1, NUM_CH_DEC[1], f1, 1)
+            outputs[("disp", 1)] = wdisp(xh1, NUM_CH_DEC[1], 4, 1)
 
-        # i=0 (repack f1 -> f0 is again a contiguous reshape)
-        f0a = pick_f(NUM_CH_DEC[0], W)
-        xh0 = nn.elu(wconv([wpack(wunpack(xh1, f1), f0a)],
-                           NUM_CH_DEC[0], "upconv_0_0", f0a))
-        xu0 = nearest_upsample2(wunpack(xh0, f0a))
-        W0 = xu0.shape[2]
-        f0 = pick_f(NUM_CH_DEC[0], W0)
-        xh0 = nn.elu(wconv([wpack(xu0, f0)], NUM_CH_DEC[0],
-                           "upconv_0_1", f0))
+        # i=0: f=4 -> (wlane) f=8, no repacks
+        xh0 = nn.elu(wconv([xh1], NUM_CH_DEC[0], "upconv_0_0", 4))
+        xu0 = wlane_up2(xh0, 4, NUM_CH_DEC[0])  # f=8 over 2W
+        xh0 = nn.elu(wconv([xu0], NUM_CH_DEC[0], "upconv_0_1", 8))
         if 0 in self.scales:
-            outputs[("disp", 0)] = wdisp(xh0, NUM_CH_DEC[0], f0, 0)
+            outputs[("disp", 0)] = wdisp(xh0, NUM_CH_DEC[0], 8, 0)
         return outputs
 
 

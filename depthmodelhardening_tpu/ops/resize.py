@@ -61,15 +61,34 @@ def bilinear_resize(img, out_h: int, out_w: int):
     return jnp.einsum("ow,bhwc->bhoc", Rw, tmp, precision=_F32)
 
 
+def _up2_raw(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=1)
+
+
+@jax.custom_vjp
 def nearest_upsample2(x):
     """2x nearest-neighbor upsample, NHWC (layers.py:201-204 equivalent).
 
-    For integer factor 2, torch's "nearest" is an exact repeat, which XLA
-    lowers to a cheap broadcast-reshape (no gather).
+    For integer factor 2, torch's "nearest" is an exact repeat. Forward
+    uses jnp.repeat — measured ~3x faster than the broadcast-reshape
+    form on TPU at decoder shapes (the broadcast interleaves W in the
+    sublane dimension; scripts/bench_upsample.py). The backward is the
+    exact transpose (2x2 window sum), pinned via custom_vjp because
+    repeat's autodiff is the slower path.
     """
-    B, H, W, C = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
-    return x.reshape(B, 2 * H, 2 * W, C)
+    return _up2_raw(x)
+
+
+def _up2_fwd(x):
+    return _up2_raw(x), None
+
+
+def _up2_bwd(_, g):
+    B, H2, W2, C = g.shape
+    return (g.reshape(B, H2 // 2, 2, W2 // 2, 2, C).sum((2, 4)),)
+
+
+nearest_upsample2.defvjp(_up2_fwd, _up2_bwd)
 
 
 def nearest_resize(img, out_h: int, out_w: int):

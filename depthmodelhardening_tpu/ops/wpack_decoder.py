@@ -54,6 +54,26 @@ def wunpack(x: jnp.ndarray, f: int) -> jnp.ndarray:
     return x.reshape(B, H, M * f, FC // f)
 
 
+def wlane_up2(x: jnp.ndarray, f: int, C: int) -> jnp.ndarray:
+    """Exact 2x nearest upsample entirely inside the packed layout:
+    (B,H,M,f*C) at width W=f*M -> (B,2H,M,2f*C) = the upsampled image
+    packed at 2f over width 2W (same block count M).
+
+    Width: output phase q' of a block reads input phase q'//2 — a
+    per-block lane duplication that never crosses block boundaries
+    (out vreg lanes come from one source vreg). Height: row
+    interleave on the outer dimension (contiguous row copies). Neither
+    touches the (W, C) sublane/lane retiling that makes the unpack ->
+    jnp.repeat -> repack chain cost ~16 ms/pass of HBM relayouts in
+    the full decoder (hlo_stats trace, docs/PERFORMANCE.md).
+    Parity: tests/test_packed_decoder.py::test_wlane_up2_exact."""
+    B, H, M, FC = x.shape
+    y = x.reshape(B, H, M, f, 1, C)
+    y = jnp.broadcast_to(y, (B, H, M, f, 2, C)).reshape(B, H, M, 2 * FC)
+    y = jnp.broadcast_to(y[:, :, None], (B, H, 2, M, 2 * FC))
+    return y.reshape(B, 2 * H, M, 2 * FC)
+
+
 def wpack_conv3x3_kernel(kernel: jnp.ndarray, f: int,
                          segment_channels: Optional[Sequence[int]] = None
                          ) -> jnp.ndarray:

@@ -206,3 +206,20 @@ def test_packed_decoder_model_parity():
     for key in outs_ref:
         np.testing.assert_allclose(np.asarray(outs_pk[key]),
                                    np.asarray(outs_ref[key]), atol=1e-5)
+
+
+def test_wlane_up2_exact():
+    """ops/wpack_decoder.wlane_up2 == nearest_upsample2 in packed
+    space, several (f, C, shape) combos."""
+    from depthmodelhardening_tpu.ops.resize import nearest_upsample2
+    from depthmodelhardening_tpu.ops.wpack_decoder import (
+        wlane_up2, wpack, wunpack,
+    )
+
+    rng = np.random.RandomState(3)
+    for (H, W, C, f) in ((6, 16, 3, 2), (4, 24, 16, 4), (5, 32, 8, 8)):
+        x = jnp.asarray(rng.rand(2, H, W, C).astype(np.float32))
+        ref = nearest_upsample2(x)
+        got = wunpack(wlane_up2(wpack(x, f), f, C), 2 * f)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
