@@ -1,26 +1,22 @@
-"""All three training-step throughput configs in ONE run (one v5e chip):
+"""One-run bench of the three training configurations (VERDICT r2 #3/#7):
 
-  distill_linf    BASELINE config 3 headline (bench.py): PGD-10 L-inf
-                  object attack + teacher fwd + student fwd/bwd + Adam
-  distill_l0      the SAME distill step with the paper recipe's L0
-                  attack (norm_type l_0, reference README.md:87-103) —
-                  the config whose hardening effect the longrun demo
-                  evidences (-50.8% attack-induced depth error); runs
-                  2x attack iterations with dual patterns + Adam, so it
-                  is reported separately from the headline
-  hardening_full  BASELINE config 4: the full ICLR'23 hardening step
-                  (L0 texture refresh + supervised_adv + contrastive +
-                  min-reprojection photometric + Adam) at 1024x320
+  1. config 3  — L-inf PGD-10 distill step (the headline bench.py metric)
+  2. config 3b — L0 distill step (the longrun-demo hardening recipe:
+     dual patterns + Adam, 2x inner iterations — reported separately)
+  3. config 4  — FULL HardeningTrainer.train_step (L0 attack + EoT batch
+     synth + supervised_adv + contrastive + photometric + Adam,
+     ICLR'23 recipe) at 1024x320 batch 32, with its decomposition.
 
-All at batch 32, 1024x320 model resolution, bf16 compute, the measured
-perf flags of bench.py. Prints one JSON line per config.
+Prints one JSON line per config; paste the table into
+docs/PERFORMANCE.md. All at 1024x320 model frames, batch 32, bf16,
+with the measured-default rewrites (wpack decoder, s2d stem, 384x256
+attack crop).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_configs.py
 """
 
 import json
 import os
-import sys
 import time
 
 import jax
@@ -31,7 +27,9 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".cache_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from depthmodelhardening_tpu.data.synthetic import make_car_object, make_scene
+from depthmodelhardening_tpu.data.synthetic import (
+    make_car_object, make_scene,
+)
 from depthmodelhardening_tpu.models.wrappers import (
     init_monodepth2, predictor_from,
 )
@@ -44,89 +42,124 @@ from depthmodelhardening_tpu.training.hardening import HardeningTrainer
 BATCH = 32
 H, W = 320, 1024
 ORI_H, ORI_W = 375, 1242
-PERF = dict(attack_crop_w=384, attack_crop_h=256, s2d_stem=True)
 
 
-def measure(step, *args, iters=5, warmup=2, key0=100):
-    out = None
-    for i in range(warmup):
-        out = step(jax.random.PRNGKey(10 + i))
-    float(jax.tree_util.tree_leaves(out)[0])  # tunnel sync
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
+
+
+def timeit(f, *args, n=5):
+    _sync(f(*args))
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(jax.random.PRNGKey(key0 + i))
-    float(jax.tree_util.tree_leaves(out)[0])
-    return BATCH * iters / (time.perf_counter() - t0)
+    for _ in range(n):
+        out = f(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / n * 1000
 
 
-def bench_distill(adv_type, teacher, tvars, extra=()):
+def bench_distill(adv_type: str):
+    rng = jax.random.PRNGKey(0)
+    teacher_model, tvars = init_monodepth2(
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), s2d_stem=True,
+        wpack_decoder=True)
+    teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
     cfg = DistillConfig(adv_type=adv_type, epsilon=0.1, alpha=0.005,
                         steps=10, batch_size=BATCH,
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
-                        compute_dtype="bfloat16", **PERF,
-                        **dict(extra))
+                        compute_dtype="bfloat16",
+                        attack_crop_w=384, attack_crop_h=256,
+                        s2d_stem=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
-    state = [trainer.make_state()]
+    state = trainer.make_state()
     scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
 
-    def step(rng):
-        state[0], metrics = trainer.train_step(state[0], scenes, rng)
-        return metrics["loss"]
+    def step(state, i):
+        return trainer.train_step(state, scenes,
+                                  jax.random.PRNGKey(100 + i))
 
-    return measure(step)
+    state, m = step(state, 0)  # compile
+    _sync(m["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, 1 + i)
+    _sync(m["loss"])
+    ms = (time.perf_counter() - t0) / iters * 1000
+    return {"metric": f"distill_{adv_type}_1024x320",
+            "step_ms": round(ms, 1),
+            "imgs_per_sec": round(BATCH / ms * 1000, 2)}
 
 
-def bench_hardening(teacher, tvars, extra=()):
+def bench_hardening():
+    rng = jax.random.PRNGKey(0)
+    teacher_model, tvars = init_monodepth2(
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), s2d_stem=True,
+        wpack_decoder=True)
+    teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
     cfg = HardeningConfig(
         selfsup=SelfSupConfig(height=H, width=W, frame_ids=("0", "s")),
         adv=AdvSynthConfig(norm_type="l_0", steps=10,
                            attack_batch_size=BATCH,
-                           ori_h=ORI_H, ori_w=ORI_W,
-                           attack_crop_w=PERF["attack_crop_w"],
-                           attack_crop_h=PERF["attack_crop_h"]),
-        supervised_adv=True, contrastive_learning=True,
+                           attack_crop_w=384, attack_crop_h=256,
+                           ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",
-        s2d_stem=True, **dict(extra))
+        s2d_stem=True, wpack_decoder=True)
     trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
-                               teacher=teacher, steps_per_epoch=1000)
-    state = [trainer.make_state()]
+                               teacher=teacher, steps_per_epoch=100)
+    state = trainer.make_state()
+
     frames = {"0": jnp.asarray(make_scene(BATCH, ORI_H, ORI_W, seed=0)),
               "s": jnp.asarray(make_scene(BATCH, ORI_H, ORI_W, seed=1))}
     side = jnp.ones((BATCH,), bool)
     flip = jnp.zeros((BATCH,), bool)
     scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
 
-    def step(rng):
-        state[0], metrics = trainer.train_step(
-            state[0], frames, side, flip, scenes, rng)
-        return metrics["loss"]
+    # decomposition: the L0 attack alone (the dominant part), then the
+    # full fused step
+    student = trainer.student_variables(state)
+    scenes_rep = trainer.attack._replicate(scenes, BATCH)
+    opt = jax.jit(lambda v, s, k: trainer.attack._optimize(v, s, k))
+    t_atk = timeit(opt, student, scenes_rep, jax.random.PRNGKey(5))
 
-    return measure(step, iters=3)
+    def step(state, i):
+        return trainer.train_step(state, frames, side, flip, scenes,
+                                  jax.random.PRNGKey(100 + i))
+
+    state, m = step(state, 0)  # compile
+    _sync(m["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, 1 + i)
+    _sync(m["loss"])
+    ms = (time.perf_counter() - t0) / iters * 1000
+    return {"metric": "hardening_full_l0_1024x320",
+            "step_ms": round(ms, 1),
+            "imgs_per_sec": round(BATCH / ms * 1000, 2),
+            "attack_ms": round(t_atk, 1),
+            "rest_ms": round(ms - t_atk, 1)}
 
 
 def main():
-    which = set(sys.argv[1:]) or {"linf", "l0", "hard"}
-    packed = (("wpack_decoder", True),)
-    teacher_model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W,
-                                           dtype=jnp.bfloat16,
-                                           scales=(0,), s2d_stem=True,
-                                           wpack_decoder=True)
-    teacher = predictor_from(teacher_model, tvars)
-    if "linf" in which:
-        v = bench_distill("object", teacher, tvars, extra=packed)
-        print(json.dumps({"config": "distill_linf_pgd10",
-                          "imgs_per_sec": round(v, 2)}), flush=True)
-    if "l0" in which:
-        v = bench_distill("object_l0", teacher, tvars, extra=packed)
-        print(json.dumps({"config": "distill_l0_10",
-                          "imgs_per_sec": round(v, 2)}), flush=True)
-    if "hard" in which:
-        v = bench_hardening(teacher, tvars, extra=packed)
-        print(json.dumps({"config": "hardening_full_l0",
-                          "imgs_per_sec": round(v, 2)}), flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["linf", "l0", "hardening"],
+                    default=None)
+    args = ap.parse_args()
+    jobs = {
+        "linf": lambda: bench_distill("object"),
+        "l0": lambda: bench_distill("object_l0"),
+        "hardening": bench_hardening,
+    }
+    for name, fn in jobs.items():
+        if args.only and name != args.only:
+            continue
+        print(json.dumps(fn()), flush=True)
 
 
 if __name__ == "__main__":

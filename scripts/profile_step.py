@@ -93,6 +93,48 @@ def _sync(out):
     float(jnp.sum(leaves[0].astype(jnp.float32)))
 
 
+def report_opstats(tmpdir, top=35):
+    """Aggregate by framework op via xprof (falls back to raw trace)."""
+    paths = glob.glob(os.path.join(tmpdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        return False
+    try:
+        from xprof.convert import raw_to_tool_data
+    except ImportError:
+        try:
+            from tensorboard_plugin_profile.convert import (
+                raw_to_tool_data,
+            )
+        except ImportError:
+            return False
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        paths, "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    tab = json.loads(data)
+    if isinstance(tab, list):
+        tab = tab[0]
+    if not (isinstance(tab, dict) and "rows" in tab):
+        return False
+    labels = [c.get("label") or c.get("id") for c in tab["cols"]]
+    rows = [[c.get("v") if isinstance(c, dict) else c for c in r["c"]]
+            for r in tab["rows"]]
+    i_type = labels.index("Type") if "Type" in labels else None
+    name_i = next(i for i, l in enumerate(labels)
+                  if l and "peration" in str(l))
+    self_i = next(i for i, l in enumerate(labels)
+                  if l and "self" in str(l).lower()
+                  and "time" in str(l).lower())
+    dev = [r for r in rows if i_type is None or r[i_type] == "Device"]
+    dev.sort(key=lambda r: -float(r[self_i] or 0))
+    tot = sum(float(r[self_i] or 0) for r in dev)
+    print(f"total device self-time: {tot/1e3:.2f} ms")
+    for r in dev[:top]:
+        print(f"{float(r[self_i])/1e3:9.3f} ms  {str(r[name_i])[:100]}")
+    return True
+
+
 def report(tmpdir, top=40):
     paths = glob.glob(os.path.join(tmpdir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -126,7 +168,8 @@ def main():
         prof_decoder(tmpdir)
     else:
         prof_train_step(tmpdir)
-    report(tmpdir)
+    if not report_opstats(tmpdir):
+        report(tmpdir)
 
 
 if __name__ == "__main__":

@@ -328,3 +328,26 @@ def test_conv3x3_reflect_same_decomposition_exact():
                                    np.asarray(dref[0]), atol=2e-5)
         np.testing.assert_allclose(np.asarray(dgot[1]),
                                    np.asarray(dref[1]), atol=2e-5)
+
+
+def test_max_pool_3x3_s2_parity():
+    """ops/pooling.py custom-VJP pool == nn.max_pool + its autodiff
+    (S&S) on continuous inputs, even and odd extents. NOTE: measured
+    SLOWER than S&S on TPU (scripts/bench_hotspots.py) — kept as a
+    tested experiment, not wired into the models."""
+    import flax.linen as nn
+
+    from depthmodelhardening_tpu.ops.pooling import max_pool_3x3_s2
+
+    rng = np.random.RandomState(0)
+    for shape in ((2, 8, 10, 3), (1, 16, 12, 4), (2, 7, 9, 2)):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        pool_ref = lambda x: nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        np.testing.assert_array_equal(np.asarray(max_pool_3x3_s2(x)),
+                                      np.asarray(pool_ref(x)))
+        g = jnp.asarray(rng.rand(*pool_ref(x).shape).astype(np.float32))
+        dref = jax.grad(lambda x: jnp.sum(pool_ref(x) * g))(x)
+        dgot = jax.grad(lambda x: jnp.sum(max_pool_3x3_s2(x) * g))(x)
+        np.testing.assert_allclose(np.asarray(dgot), np.asarray(dref),
+                                   atol=1e-6)
