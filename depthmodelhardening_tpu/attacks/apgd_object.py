@@ -59,10 +59,9 @@ class APGDObjectAttack(PhysObjAttack):
 
     def _loss_grad(self, variables, scenes_full, z0s, alphas, x_adv):
         def loss_fn(obj):
-            adv_scenes, masks = self._model_view(scenes_full, obj, z0s,
-                                                 alphas)
             # loss = -MSE(masked disp, 0): APGD *maximizes* it
-            return -self._targeted_cost(variables, adv_scenes, masks)
+            return -self._objective(variables, scenes_full, obj,
+                                    z0s, alphas)
 
         return jax.value_and_grad(loss_fn)(x_adv)
 

@@ -218,21 +218,118 @@ class PhysObjAttack:
             tile_w=min(self.cfg.tile_w, self.cfg.scene_w),
             adjoint_mode=self.cfg.adjoint_mode)
 
-    def _targeted_cost(self, variables, adv_scenes, masks,
-                       fine: bool = False):
-        """Targeted zero-disparity MSE inside the object mask
-        (phy_obj_atk.py:94): mean((disp * mask)^2). `fine=True` forces
-        the reference disp0 objective regardless of cfg.attack_scale
-        (the tail of the coarse-to-fine schedule)."""
-        B, H, W, _ = adv_scenes.shape
-        cw = self.cfg.attack_crop_w
-        ch = self.cfg.attack_crop_h
-        cw = cw if cw is not None and cw < W else None
-        ch = ch if ch is not None and ch < H else None
-        scale = 1.0
-        if cw is not None or ch is not None:
-            adv_scenes, masks, scale = self._crop_to_object(
-                adv_scenes, masks, cw or W, ch or H)
+    def _objective(self, variables, scenes_full, obj_adv, z0s, alphas,
+                   fine: bool = False,
+                   transform: Optional[Callable] = None):
+        """The inner-loop cost: EoT view + targeted masked-disparity
+        MSE, shared by every object attack's optimization loop.
+
+        When the cropped objective is active on the (default) tiled
+        separable composite and no full-frame scene transform is
+        requested, this routes to the FUSED crop path
+        (_model_view_cropped): the composite is evaluated directly
+        inside the (crop_h, crop_w) window, so no full-frame tensor
+        enters the differentiated graph — the paste-then-crop chain
+        otherwise lowers to a batched gather whose transpose is a
+        full-frame scatter-add, the single most expensive HLO of the
+        bench step (~31 ms of a 452 ms step, scripts/profile_step.py).
+        Bit-identical to paste-then-crop: the composite is pixelwise
+        and the one-hot relocation moves values exactly.
+
+        `transform` (e.g. the L0 attack's color jitter) is applied to
+        the full-frame adv scenes and forces the reference path —
+        global-statistic transforms do not commute with the crop.
+        """
+        cfg = self.cfg
+        cw, ch = cfg.attack_crop_w, cfg.attack_crop_h
+        cw = cw if cw is not None and cw < cfg.scene_w else None
+        ch = ch if ch is not None and ch < cfg.scene_h else None
+        if ((cw is not None or ch is not None) and transform is None
+                and not cfg.exact_composite
+                and cfg.adjoint_mode == "separable"):
+            adv, masks, scale = self._model_view_cropped(
+                scenes_full, obj_adv, z0s, alphas,
+                cw or cfg.scene_w, ch or cfg.scene_h)
+            return self._cost_tail(variables, adv, masks, scale, fine)
+        adv_scenes, masks = self._model_view(scenes_full, obj_adv,
+                                             z0s, alphas)
+        if transform is not None:
+            adv_scenes = transform(adv_scenes)
+        return self._targeted_cost(variables, adv_scenes, masks,
+                                   fine=fine)
+
+    def _model_view_cropped(self, scenes_full, obj_adv, z0s, alphas,
+                            cw: int, ch: int):
+        """(adv_crop, mask_crop, scale): the tiled separable composite
+        evaluated directly inside the objective window.
+
+        The warped tile is relocated into crop coordinates by two
+        one-hot einsums (exact 0/1 weights, one term per output pixel
+        — MXU work with an equally cheap transpose), and the benign
+        scene window is a constant gather carrying no gradient. Crop
+        offsets reproduce _crop_to_object exactly: the full-frame mask
+        is zero outside the tile, so its center of mass equals
+        tile_offset + center-of-mass(tile mask)."""
+        cfg = self.cfg
+        Hm, Wm = cfg.scene_h, cfg.scene_w
+        scenes_model = bilinear_resize(scenes_full, Hm, Wm)
+        dt = scenes_model.dtype
+        th = min(cfg.tile_h, Hm)
+        tw = min(cfg.tile_w, Wm)
+        if obj_adv.ndim == 3:
+            obj_adv = obj_adv[None]
+        tiles, y0s, x0s = self.eot.tiles_separable(
+            (obj_adv,), self.obj_mask, z0s, alphas, Hm, Wm, th, tw,
+            dtype=dt)
+        m_t = tiles[..., -1:]
+
+        # crop offsets == _crop_to_object on the pasted full frame
+        msum = jnp.sum(m_t, axis=(1, 2, 3))
+        has = msum > 0
+        denom = jnp.maximum(msum, 1e-6)
+        ty = jnp.arange(th, dtype=jnp.float32)
+        tx = jnp.arange(tw, dtype=jnp.float32)
+        cy = jnp.where(
+            has, y0s + jnp.sum(m_t[..., 0] * ty[None, :, None],
+                               axis=(1, 2)) / denom, Hm / 2.0)
+        cx = jnp.where(
+            has, x0s + jnp.sum(m_t[..., 0] * tx[None, None, :],
+                               axis=(1, 2)) / denom, Wm / 2.0)
+        y0c = jax.lax.stop_gradient(jnp.clip(
+            jnp.round(cy - ch / 2).astype(jnp.int32), 0, Hm - ch))
+        x0c = jax.lax.stop_gradient(jnp.clip(
+            jnp.round(cx - cw / 2).astype(jnp.int32), 0, Wm - cw))
+
+        # tile -> crop one-hot relocation; out-of-window tile rows/cols
+        # get all-zero one-hot rows = the exact paste-then-crop clipping
+        dy = y0s.astype(jnp.int32) - y0c  # tile row t -> crop row t+dy
+        dx = x0s.astype(jnp.int32) - x0c
+        oy = jnp.arange(ch, dtype=jnp.int32)
+        ox = jnp.arange(cw, dtype=jnp.int32)
+        R = (oy[None, :, None]
+             == jnp.arange(th, dtype=jnp.int32)[None, None, :]
+             + dy[:, None, None]).astype(dt)
+        Cm = (ox[None, :, None]
+              == jnp.arange(tw, dtype=jnp.int32)[None, None, :]
+              + dx[:, None, None]).astype(dt)
+        t2 = jnp.einsum("bot,bthc->bohc", R, tiles)
+        t3 = jnp.einsum("bow,bhwc->bhoc", Cm, t2)
+        m_c = t3[..., -1:]
+        o_c = t3[..., :-1]
+
+        def crop_scene(img, oy0, ox0):
+            return jax.lax.dynamic_slice(
+                img, (oy0, ox0, 0), (ch, cw, img.shape[-1]))
+
+        sc = jax.vmap(crop_scene)(
+            jax.lax.stop_gradient(scenes_model), y0c, x0c)
+        adv = sc * (1.0 - m_c) + o_c * m_c
+        return adv, m_c, (ch * cw) / (Hm * Wm)
+
+    def _cost_tail(self, variables, adv_scenes, masks, scale,
+                   fine: bool):
+        """Shared objective tail: scale-s head selection + targeted
+        zero-disparity masked MSE, rescaled to the full-frame mean."""
         s = 0 if fine else self.cfg.attack_scale
         if s:
             if self.predict_scale_fn is None:
@@ -253,6 +350,27 @@ class PhysObjAttack:
         # magnitude-sensitive optimizers (Adam/APGD checkpoints)
         # see reference-scale costs
         return jnp.mean((disp * masks) ** 2) * scale
+
+    def _targeted_cost(self, variables, adv_scenes, masks,
+                       fine: bool = False):
+        """Targeted zero-disparity MSE inside the object mask
+        (phy_obj_atk.py:94): mean((disp * mask)^2) over full-frame
+        composites, cropping them to the objective window first when
+        the crop is configured (the reference path; _objective's fused
+        route computes the same values without the full frame).
+        `fine=True` forces the reference disp0 objective regardless of
+        cfg.attack_scale (the tail of the coarse-to-fine schedule)."""
+        B, H, W, _ = adv_scenes.shape
+        cw = self.cfg.attack_crop_w
+        ch = self.cfg.attack_crop_h
+        cw = cw if cw is not None and cw < W else None
+        ch = ch if ch is not None and ch < H else None
+        scale = 1.0
+        if cw is not None or ch is not None:
+            adv_scenes, masks, scale = self._crop_to_object(
+                adv_scenes, masks, cw or W, ch or H)
+        return self._cost_tail(variables, adv_scenes, masks, scale,
+                               fine)
 
     def _crop_to_object(self, adv_scenes, masks, cw: int, ch: int):
         """Crop each sample to (ch, cw) centered on the object mask's

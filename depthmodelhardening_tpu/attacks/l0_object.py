@@ -95,11 +95,13 @@ class L0ObjectAttack(PhysObjAttack):
             pattern_pos, pattern_neg = self._patterns(pos_t, neg_t)
             obj_adv = jnp.clip(
                 self.obj_img + pattern_pos + pattern_neg, 0.0, 1.0)
-            adv_scenes, masks = self._model_view(scenes_full, obj_adv,
-                                                 z0s, alphas)
-            if self.jitter is not None:
-                adv_scenes = apply_color_jitter(adv_scenes, *self.jitter)
-            adv_cost = self._targeted_cost(variables, adv_scenes, masks)
+            # the jitter is a full-frame transform (its contrast term
+            # reads the global image mean) — _objective falls back to
+            # the reference paste-then-crop path when it is set
+            transform = (None if self.jitter is None else
+                         (lambda s: apply_color_jitter(s, *self.jitter)))
+            adv_cost = self._objective(variables, scenes_full, obj_adv,
+                                       z0s, alphas, transform=transform)
             return adv_cost + mask_weight * self._mask_cost(pos_t, neg_t)
 
         grad_fn = jax.grad(total_cost)

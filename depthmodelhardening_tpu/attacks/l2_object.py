@@ -53,10 +53,9 @@ class L2ObjectAttack(PhysObjAttack):
 
         def cost_fn(adv_obj, key):
             z0s, alphas = self._sample_za(key, B)
-            adv_scenes, masks = self._model_view(scenes_full, adv_obj,
-                                                 z0s, alphas)
             # targeted: ascend -MSE == descend MSE toward zero disparity
-            return self._targeted_cost(variables, adv_scenes, masks)
+            return self._objective(variables, scenes_full, adv_obj,
+                                   z0s, alphas)
 
         grad_fn = jax.grad(cost_fn)
 

@@ -75,9 +75,8 @@ class LightObjectAttack(PhysObjAttack):
             obj_adv = self._apply_light(params)
             key = jax.random.fold_in(rng, i)
             z0s, alphas = self._sample_za(key, B)
-            adv_scenes, masks = self._model_view(scenes_full, obj_adv,
-                                                 z0s, alphas)
-            cost = self._targeted_cost(variables, adv_scenes, masks)
+            cost = self._objective(variables, scenes_full, obj_adv,
+                                   z0s, alphas)
             better = cost < best_cost
             return (jnp.where(better, cost, best_cost),
                     jnp.where(better, params, best_params))

@@ -41,10 +41,8 @@ class PGDObjectAttack(PhysObjAttack):
         batch = scenes_full.shape[0]
 
         def cost_fn(obj, z0s, alphas, fine):
-            adv_scenes, masks = self._model_view(scenes_full, obj, z0s,
-                                                 alphas)
-            return self._targeted_cost(variables, adv_scenes, masks,
-                                       fine=fine)
+            return self._objective(variables, scenes_full, obj,
+                                   z0s, alphas, fine=fine)
 
         def body(grad_fn):
             def _body(step, obj):

@@ -159,9 +159,8 @@ class GaussianObjectAttack(PhysObjAttack):
             cur = self._region * pattern + cur * (1 - self._region)
             key = jax.random.fold_in(rng, step)
             z0s, alphas = self._sample_za(key, B)
-            adv_scenes, masks = self._model_view(scenes_full, cur,
-                                                 z0s, alphas)
-            cost = self._targeted_cost(variables, adv_scenes, masks)
+            cost = self._objective(variables, scenes_full, cur,
+                                   z0s, alphas)
             better = cost < best_cost
             best_cost = jnp.where(better, cost, best_cost)
             best = jnp.where(better, cur, best)

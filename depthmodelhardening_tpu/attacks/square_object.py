@@ -64,9 +64,8 @@ class SquareObjectAttack(PhysObjAttack):
         return self._sample_za(jax.random.PRNGKey(self.seed), batch)
 
     def _loss(self, variables, scenes_full, z0s, alphas, obj):
-        adv_scenes, masks = self._model_view(scenes_full, obj, z0s,
-                                             alphas)
-        return self._targeted_cost(variables, adv_scenes, masks)
+        return self._objective(variables, scenes_full, obj, z0s,
+                               alphas)
 
     def _optimize(self, variables, scenes_full, rng):
         B = scenes_full.shape[0]

@@ -472,20 +472,25 @@ class EoTCompositor:
         B = (d * X + e * (0.5 + y0) + f) / den - 0.5 - t_pad
         return sx, A, B, y0, x0
 
-    def _tiled_separable(self, scenes_model, textures, mask,
-                         z0s, alphas, model_h: int, model_w: int,
-                         tile_h: int, tile_w: int,
-                         T: Optional[jnp.ndarray]):
-        """Separable-warp core: warp any number of textures + the mask
-        in ONE pass (channel concat) and composite each texture against
-        the scene. Returns ([comp_per_texture], mask_full)."""
+    def tiles_separable(self, textures, mask, z0s, alphas,
+                        model_h: int, model_w: int,
+                        tile_h: int, tile_w: int,
+                        T: Optional[jnp.ndarray] = None,
+                        dtype=jnp.float32):
+        """Separable-warp core WITHOUT the full-frame paste: warp any
+        number of textures + the mask in ONE pass (channel concat) and
+        return (tiles (B, tile_h, tile_w, sum(C)+1), y0s, x0s) — the
+        mask is the LAST channel and (y0s, x0s) are the per-sample
+        integer-valued tile offsets in the model frame. Callers that
+        only read a window around the object (the cropped attack
+        objective, attacks/base.py:_model_view_cropped) consume the
+        tiles directly so no full-frame tensor enters their
+        differentiated path."""
         from ..ops.pallas_warp import vertical_resample
 
         oh, ow = self.cfg.obj_h, self.cfg.obj_w
         sx_f = model_w / self.cfg.scene_w
         sy_f = model_h / self.cfg.scene_h
-        dtype = scenes_model.dtype
-        chans = [t.shape[-1] for t in textures]
 
         def geom(z0, alpha, T_b):
             return self._separable_geometry(z0, alpha, T_b, sx_f, sy_f,
@@ -520,7 +525,18 @@ class EoTCompositor:
         inter = inter.astype(dtype)
 
         tiles = vertical_resample(inter, As, Bs, tile_h)
-        tiles = tiles.transpose(0, 2, 3, 1)  # (B, TH, TW, sum(C)+1)
+        return tiles.transpose(0, 2, 3, 1), y0s, x0s  # (B,TH,TW,ΣC+1)
+
+    def _tiled_separable(self, scenes_model, textures, mask,
+                         z0s, alphas, model_h: int, model_w: int,
+                         tile_h: int, tile_w: int,
+                         T: Optional[jnp.ndarray]):
+        """tiles_separable + per-sample paste into the scenes.
+        Returns ([comp_per_texture], mask_full)."""
+        chans = [t.shape[-1] for t in textures]
+        tiles, y0s, x0s = self.tiles_separable(
+            textures, mask, z0s, alphas, model_h, model_w,
+            tile_h, tile_w, T, dtype=scenes_model.dtype)
 
         def paste(scene_b, tile_b, y0, x0):
             m_t = tile_b[..., -1:]

@@ -59,7 +59,8 @@ def make_kernel(H, M, Mp2, K, N, TH):
             acc = jnp.dot(patch, w_ref[...],
                           preferred_element_type=jnp.float32)
             acc = acc + b_ref[0][None, :].astype(jnp.float32)
-            y = jnp.where(acc > 0, acc, jnp.expm1(acc))
+            # expm1 has no Pallas TPU lowering; exp-1 is fine in f32
+            y = jnp.where(acc > 0, acc, jnp.exp(acc) - 1.0)
             o_ref[0] = y.reshape(TH, M, N).astype(o_ref.dtype)
 
         pl.run_scoped(

@@ -267,3 +267,59 @@ def test_attack_crop_rect_cost_parity(tiny, scene):
     c_full = full._targeted_cost(tiny.variables, adv_scenes, masks)
     c_rect = rect._targeted_cost(tiny.variables, adv_scenes, masks)
     assert abs(float(c_full) - float(c_rect)) / float(c_full) < 0.05
+
+
+def test_fused_crop_objective_parity(tiny, scene):
+    """_objective's fused tile->crop path (no full-frame tensor in the
+    differentiated graph) is bit-equivalent to the reference
+    paste-then-crop chain (_model_view + _targeted_cost): same cost,
+    same texture gradient — across EoT geometries including ones whose
+    crop window clips at the frame edges."""
+    import dataclasses
+
+    obj, mask = make_car_object(width=OBJ_W, height=OBJ_H, seed=3)
+    cfg = PhysObjAttackConfig(obj_h=OBJ_H, obj_w=OBJ_W, scene_h=96,
+                              scene_w=320, ori_h=375, ori_w=1242,
+                              tile_h=64, tile_w=128,
+                              attack_crop_w=160, attack_crop_h=64)
+    atk = PGDObjectAttack(tiny.predict, obj, mask, cfg,
+                          eps=0.1, alpha=0.05, steps=2)
+    scenes = jnp.broadcast_to(scene, (3,) + scene.shape[1:])
+
+    def ref_cost(o, z0s, alphas):
+        adv_scenes, masks = atk._model_view(scenes, o, z0s, alphas)
+        return atk._targeted_cost(tiny.variables, adv_scenes, masks)
+
+    def fused_cost(o, z0s, alphas):
+        return atk._objective(tiny.variables, scenes, o, z0s, alphas)
+
+    # geometry sweep: pinned eval view, near/far, extreme angles (the
+    # +/-30 deg views push the quad toward the frame edges where the
+    # crop window clips)
+    cases = [
+        (jnp.asarray([7.0, 6.0, 20.0]), jnp.asarray([0.0, -30.0, 30.0])),
+        (jnp.asarray([5.0, 10.0, 15.0]), jnp.asarray([25.0, -25.0, 5.0])),
+    ]
+    for z0s, alphas in cases:
+        c_ref = ref_cost(obj, z0s, alphas)
+        c_fused = fused_cost(obj, z0s, alphas)
+        np.testing.assert_allclose(float(c_fused), float(c_ref),
+                                   rtol=1e-6)
+        g_ref = jax.grad(ref_cost)(obj, z0s, alphas)
+        g_fused = jax.grad(fused_cost)(obj, z0s, alphas)
+        np.testing.assert_allclose(np.asarray(g_fused),
+                                   np.asarray(g_ref), atol=1e-7)
+
+    # (end-to-end PGD through the fused route is exercised by
+    # test_attack_crop_w_cost_and_effectiveness — _optimize now routes
+    # every cropped attack through _objective)
+
+    # width-only crop (attack_crop_h=None) also matches
+    cfg_w = dataclasses.replace(cfg, attack_crop_h=None)
+    atk_w = PGDObjectAttack(tiny.predict, obj, mask, cfg_w,
+                            eps=0.1, alpha=0.05, steps=2)
+    z0s, alphas = cases[0]
+    adv_scenes, masks = atk_w._model_view(scenes, obj, z0s, alphas)
+    c_ref = atk_w._targeted_cost(tiny.variables, adv_scenes, masks)
+    c_fused = atk_w._objective(tiny.variables, scenes, obj, z0s, alphas)
+    np.testing.assert_allclose(float(c_fused), float(c_ref), rtol=1e-6)
