@@ -37,7 +37,7 @@ def timeit(fn, *args, n=20):
     return (time.perf_counter() - t0) / n * 1000
 
 
-def make_kernel(H, M, Mp2, K, N, TH):
+def make_kernel(H, M, Mp2, K, N, TH, accum9=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -50,14 +50,28 @@ def make_kernel(H, M, Mp2, K, N, TH):
                 x_hbm.at[b, pl.ds(t * TH, TH + 2)], xs, sem)
             cp.start()
             cp.wait()
-            slabs = []
-            for ky in range(3):
-                for kx in range(3):
-                    s = xs[ky:ky + TH, kx:kx + M, :]
-                    slabs.append(s.reshape(TH * M, K))
-            patch = jnp.concatenate(slabs, axis=1)  # (TH*M, 9K)
-            acc = jnp.dot(patch, w_ref[...],
-                          preferred_element_type=jnp.float32)
+            if accum9:
+                # nine shifted (TH*M, K) @ (K, N) matmuls accumulated
+                # in f32 — no patch assembly copies
+                acc = None
+                for ky in range(3):
+                    for kx in range(3):
+                        s = xs[ky:ky + TH, kx:kx + M, :]
+                        p = jnp.dot(
+                            s.reshape(TH * M, K),
+                            w_ref[(3 * ky + kx) * K:
+                                  (3 * ky + kx + 1) * K],
+                            preferred_element_type=jnp.float32)
+                        acc = p if acc is None else acc + p
+            else:
+                slabs = []
+                for ky in range(3):
+                    for kx in range(3):
+                        s = xs[ky:ky + TH, kx:kx + M, :]
+                        slabs.append(s.reshape(TH * M, K))
+                patch = jnp.concatenate(slabs, axis=1)  # (TH*M, 9K)
+                acc = jnp.dot(patch, w_ref[...],
+                              preferred_element_type=jnp.float32)
             acc = acc + b_ref[0][None, :].astype(jnp.float32)
             # expm1 has no Pallas TPU lowering; exp-1 is fine in f32
             y = jnp.where(acc > 0, acc, jnp.exp(acc) - 1.0)
@@ -72,14 +86,14 @@ def make_kernel(H, M, Mp2, K, N, TH):
     return kernel
 
 
-def pallas_wconv(xe, w9, bias, TH):
+def pallas_wconv(xe, w9, bias, TH, M, accum9=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Bn, Hp2, Mp2, K = xe.shape
-    H, M = Hp2 - 2, Mp2 - 2
+    H = Hp2 - 2
     N = w9.shape[1]
-    kernel = make_kernel(H, M, Mp2, K, N, TH)
+    kernel = make_kernel(H, M, Mp2, K, N, TH, accum9=accum9)
     grid = (Bn, H // TH)
     return pl.pallas_call(
         kernel,
@@ -120,28 +134,43 @@ def main():
     w9 = k33.transpose(0, 1, 2, 3).reshape(9 * K, N)
 
     def build_xe(xw):
-        # zero pad (prototype: perf only, exactness later)
-        return jnp.pad(xw, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # zero pad (prototype: perf only, exactness later); the packed
+        # width is padded up to a multiple of 8 — Mosaic requires HBM
+        # slice shapes aligned to the (8, 128) tiling on the
+        # second-to-minor dim, and 130 is not
+        pad_r = (-(M + 2)) % 8 + 1
+        return jnp.pad(xw, ((0, 0), (1, 1), (1, pad_r), (0, 0)))
 
     xe = jax.jit(build_xe)(xw)
     t_pad = timeit(jax.jit(build_xe), xw)
     b_tiled = jnp.tile(bias, f)[None, :]
 
-    for TH in (8, 16, 32):
-        try:
-            fn = jax.jit(functools.partial(pallas_wconv, TH=TH))
-            t = timeit(fn, xe, w9, b_tiled)
-            print(f"pallas TH={TH}: {t:.2f} ms (+pad {t_pad:.2f})",
-                  flush=True)
-        except Exception as e:
-            print(f"pallas TH={TH}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+    # XLA VALID conv on the SAME prepadded input — the apples-to-apples
+    # baseline for the kernel alone (the reflect-pad build is shared)
+    xla_valid = jax.jit(lambda xe, k33: jax.nn.elu(
+        jax.lax.conv_general_dilated(
+            xe[:, :, :M + 2], k33, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_tiled[0]))
+    print(f"XLA VALID conv+elu on prepadded: "
+          f"{timeit(xla_valid, xe, k33):.2f} ms", flush=True)
 
-    # parity vs XLA on the zero-padded conv
+    for accum9 in (False, True):
+        for TH in (8, 16, 32):
+            try:
+                fn = jax.jit(functools.partial(
+                    pallas_wconv, TH=TH, M=M, accum9=accum9))
+                t = timeit(fn, xe, w9, b_tiled)
+                print(f"pallas TH={TH} accum9={accum9}: {t:.2f} ms "
+                      f"(+pad {t_pad:.2f})", flush=True)
+            except Exception as e:
+                print(f"pallas TH={TH} accum9={accum9}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+    # parity vs XLA on the zero-padded conv (trim the alignment pad)
     ref0 = jax.nn.elu(jax.lax.conv_general_dilated(
-        xe, k33, (1, 1), "VALID",
+        xe[:, :, :M + 2], k33, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_tiled[0])
-    got = pallas_wconv(xe, w9, b_tiled, TH=8)
+    got = pallas_wconv(xe, w9, b_tiled, TH=8, M=M)
     err = float(jnp.max(jnp.abs(ref0.astype(jnp.float32)
                                 - got.astype(jnp.float32))))
     print(f"parity max|diff| vs XLA zero-pad conv: {err}", flush=True)
