@@ -50,6 +50,8 @@ def main():
                     help="override the measured-default attack_scale")
     ap.add_argument("--packed-decoder", action="store_true")
     ap.add_argument("--no-wpack-decoder", action="store_true")
+    ap.add_argument("--no-wpack-stem", action="store_true",
+                    help="fall back to the 2x2-s2d stem + naive layer1")
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
@@ -57,7 +59,9 @@ def main():
     # The teacher only supplies disp0 pseudo-GT: run it scales=(0,)
     # with the same exact perf rewrites as the student (same params).
     teacher_model, teacher_vars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), s2d_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,),
+        wpack_stem=not args.no_wpack_stem,
+        s2d_stem=args.no_wpack_stem,
         wpack_decoder=not args.no_wpack_decoder)
     teacher = predictor_from(teacher_model, teacher_vars)
 
@@ -83,7 +87,10 @@ def main():
                         # 2-4x on the lane-starved convs
                         # (ops/wpack_decoder.py)
                         wpack_decoder=not args.no_wpack_decoder,
-                        s2d_stem=True)
+                        # width-packed stem + layer1 (4x4-s2d stem,
+                        # ops/wpack_encoder.py); supersedes s2d_stem
+                        wpack_stem=not args.no_wpack_stem,
+                        s2d_stem=args.no_wpack_stem)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()

@@ -189,6 +189,7 @@ def cmd_train_distill(args):
                         attack_scale=args.attack_scale,
                         attack_scale_fine_steps=args.attack_scale_fine_steps,
                         s2d_stem=args.s2d_stem,
+                        wpack_stem=args.wpack_stem,
                         fuse_upconv=args.fuse_upconv,
                         packed_decoder=args.packed_decoder,
                         wpack_decoder=args.wpack_decoder)
@@ -198,7 +199,8 @@ def cmd_train_distill(args):
     from ..models.wrappers import make_monodepth2, predictor_from
     teacher_model = make_monodepth2(
         num_layers=args.num_layers, scales=(0,),
-        s2d_stem=cfg.s2d_stem, wpack_decoder=cfg.wpack_decoder,
+        s2d_stem=cfg.s2d_stem, wpack_stem=cfg.wpack_stem,
+        wpack_decoder=cfg.wpack_decoder,
         packed_decoder=cfg.packed_decoder, fuse_upconv=cfg.fuse_upconv)
     teacher = predictor_from(teacher_model, teacher.variables)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(args.seed), obj,
@@ -334,7 +336,8 @@ def cmd_train_hardening(args):
         use_depth_hints=args.use_depth_hints,
         model_family=args.model_family,
         manydepth_real_lookup=args.manydepth_real_lookup,
-        s2d_stem=args.s2d_stem, fuse_upconv=args.fuse_upconv,
+        s2d_stem=args.s2d_stem, wpack_stem=args.wpack_stem,
+        fuse_upconv=args.fuse_upconv,
         packed_decoder=args.packed_decoder,
         wpack_decoder=args.wpack_decoder)
 
@@ -485,6 +488,9 @@ def _add_perf_args(p):
                    help="height companion to --attack-crop-w")
     p.add_argument("--s2d-stem", action="store_true",
                    help="exact space-to-depth stem conv rewrite")
+    p.add_argument("--wpack-stem", action="store_true",
+                   help="exact WIDTH-packed stem + layer1 "
+                        "(ops/wpack_encoder.py; supersedes --s2d-stem)")
     p.add_argument("--fuse-upconv", action="store_true",
                    help="exact fused upsample+conv decoder rewrite")
     p.add_argument("--attack-scale", type=int, default=0,

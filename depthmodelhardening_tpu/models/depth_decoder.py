@@ -238,17 +238,19 @@ class DepthDecoder(nn.Module):
                                                     jnp.ndarray]:
         """Stages 4..2 naive (channels >= 64); stages 1 and 0 on
         WIDTH-packed activations (ops/wpack_decoder.py) held END TO END:
-        enter the packed layout once at upconv_1_0 (f=2), upsample with
-        wlane_up2 (f 2->4 and 4->8 — pure lane duplication + outer-dim
-        row interleave), pack the skip once (f=4), and leave the layout
-        only for the final 1-channel disparities. The earlier
+        enter the packed layout once at upconv_1_0 (f=2), FUSE each
+        nearest-up2 into the following conv (wpack_up2conv3x3_reflect:
+        f 2->4 and 4->8 without ever materializing the upsampled
+        tensor), pack the skip once (f=4), and leave the layout only
+        for the final 1-channel disparities. The earlier
         unpack -> jnp.repeat -> repack chain looked free ("contiguous
         reshapes") but each (W,C)<->(M,fC) reshape is a full HBM
         lane/sublane relayout on TPU — ~16 ms/pass at 320x1024 in
         hlo_stats traces. Exact to float associativity; same parameter
         tree (tests/test_packed_decoder.py)."""
         from ..ops.wpack_decoder import (
-            wlane_up2, wpack, wpack_conv3x3_reflect, wunpack,
+            wpack, wpack_conv3x3_reflect, wpack_up2conv3x3_reflect,
+            wunpack,
         )
 
         outputs = {}
@@ -297,22 +299,36 @@ class DepthDecoder(nn.Module):
         # i=1: enter packed at f=2 (64ch -> 128 lanes)
         xh = nn.elu(wconv([wpack(x, 2)], NUM_CH_DEC[1],
                           "upconv_1_0", 2))
-        xu = wlane_up2(xh, 2, NUM_CH_DEC[1])  # f=4 over 2W
+        # upsample FUSED into the conv (wpack_up2conv3x3_reflect): the
+        # (B,2H,M,2f*C) intermediate, its forward lane/row broadcasts,
+        # and their reduce_sum adjoints never exist, and the up-path
+        # conv reads f*C instead of 2f*C input lanes
+        ch_up = NUM_CH_DEC[1]
         if self.use_skips:
             skip = input_features[0].astype(self.dtype)
-            segs = [xu, wpack(skip, 4)]
-            seg_ch = (NUM_CH_DEC[1], skip.shape[-1])
+            k1, b1 = _ConvBlockParams(
+                NUM_CH_DEC[1], ch_up + skip.shape[-1],
+                name="upconv_1_1")()
+            k1 = k1.astype(self.dtype)
+            y = wpack_up2conv3x3_reflect(xh, k1[:, :, :ch_up], f=2)
+            y = y + wpack_conv3x3_reflect(wpack(skip, 4),
+                                          k1[:, :, ch_up:], f=4)
+            xh1 = nn.elu(y + jnp.tile(b1, 4).astype(self.dtype))
         else:
-            segs, seg_ch = [xu], (NUM_CH_DEC[1],)
-        xh1 = nn.elu(wconv(segs, NUM_CH_DEC[1], "upconv_1_1", 4,
-                           seg_ch))
+            k1, b1 = _ConvBlockParams(NUM_CH_DEC[1], ch_up,
+                                      name="upconv_1_1")()
+            xh1 = nn.elu(wpack_up2conv3x3_reflect(
+                xh, k1.astype(self.dtype), b1.astype(self.dtype),
+                f=2))
         if 1 in self.scales:
             outputs[("disp", 1)] = wdisp(xh1, NUM_CH_DEC[1], 4, 1)
 
-        # i=0: f=4 -> (wlane) f=8, no repacks
+        # i=0: f=4 -> (fused up2conv) f=8, no repacks
         xh0 = nn.elu(wconv([xh1], NUM_CH_DEC[0], "upconv_0_0", 4))
-        xu0 = wlane_up2(xh0, 4, NUM_CH_DEC[0])  # f=8 over 2W
-        xh0 = nn.elu(wconv([xu0], NUM_CH_DEC[0], "upconv_0_1", 8))
+        k0, b0 = _ConvBlockParams(NUM_CH_DEC[0], NUM_CH_DEC[0],
+                                  name="upconv_0_1")()
+        xh0 = nn.elu(wpack_up2conv3x3_reflect(
+            xh0, k0.astype(self.dtype), b0.astype(self.dtype), f=4))
         if 0 in self.scales:
             outputs[("disp", 0)] = wdisp(xh0, NUM_CH_DEC[0], 8, 0)
         return outputs

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -145,6 +146,78 @@ class _StemKernel(nn.Module):
                           self.shape)
 
 
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over a width-packed (B,H,M,f*C) tensor, parameter- and
+    numerics-compatible with nn.BatchNorm on the unpacked (B,H,W,C)
+    tensor: per-lane batch moments are combined across the f phases
+    (every phase sees the same element count, so the combined
+    mean/E[x^2] are the exact unpacked batch statistics), running
+    averages follow flax's momentum rule, and the affine params are
+    the plain (C,) vectors tiled across phases."""
+
+    channels: int
+    f: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, use_running_average: bool):
+        C, f = self.channels, self.f
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xp.astype(jnp.float32)
+            lane_mean = jnp.mean(xf, axis=(0, 1, 2))        # (f*C,)
+            lane_ex2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+            mean = jnp.mean(lane_mean.reshape(f, C), axis=0)
+            ex2 = jnp.mean(lane_ex2.reshape(f, C), axis=0)
+            var = ex2 - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon))
+        add = bias - mean * mul
+        mul = jnp.tile(mul, f).astype(self.dtype)
+        add = jnp.tile(add, f).astype(self.dtype)
+        return xp.astype(self.dtype) * mul + add
+
+
+class PackedBasicBlock(nn.Module):
+    """BasicBlock (stride 1, no projection — the layer1 shape) on
+    width-packed activations; parameter tree identical to BasicBlock."""
+
+    features: int
+    f: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, train: bool = False):
+        from ..ops.wpack_encoder import wpack_conv3x3_zero
+
+        C, f = self.features, self.f
+        k1 = _StemKernel((3, 3, C, C), name="conv1")()
+        k2 = _StemKernel((3, 3, C, C), name="conv2")()
+        y = wpack_conv3x3_zero(xp, k1.astype(self.dtype), f)
+        y = PackedBatchNorm(C, f, dtype=self.dtype, name="bn1")(
+            y, use_running_average=not train)
+        y = nn.relu(y)
+        y = wpack_conv3x3_zero(y, k2.astype(self.dtype), f)
+        y = PackedBatchNorm(C, f, dtype=self.dtype, name="bn2")(
+            y, use_running_average=not train)
+        return nn.relu(y + xp)
+
+
 class ResnetEncoder(nn.Module):
     """ResNet trunk returning the 5 multi-scale feature maps.
 
@@ -157,10 +230,13 @@ class ResnetEncoder(nn.Module):
     num_input_images: int = 1
     dtype: Any = jnp.float32
     s2d_stem: bool = False
+    wpack_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ((x - 0.45) / 0.225).astype(self.dtype)
+        if self.wpack_stem:
+            return self._call_wpacked(x, train)
         if self.s2d_stem:
             # exact space-to-depth rewrite of the 7x7/s2 stem: Cin=3
             # occupies 3/128 MXU lanes; blocked Cin=12 at quarter
@@ -182,6 +258,44 @@ class ResnetEncoder(nn.Module):
 
         features = [f0]
         for stage in range(4):
+            x = run_stage(x, stage, self.num_layers, self.dtype, train)
+            features.append(x)
+        return features
+
+    def _call_wpacked(self, x, train: bool):
+        """Stem + layer1 on width-packed activations (the encoder's
+        two padded-lane FLOP sinks — ops/wpack_encoder.py): the 4x4-s2d
+        stem emits wpack(f0, 2) natively, bn1/relu/maxpool and layer1's
+        BasicBlocks stay packed (f=2: 64ch -> 128 lanes), and the
+        layout is left only for the features list and layer2. Exact to
+        float associativity; identical parameter tree
+        (tests/test_wpack_encoder.py). Requires BasicBlock stages
+        (num_layers <= 34). `x` arrives already normalized."""
+        from ..ops.wpack_encoder import (
+            s2d4_stem_conv, wpack_maxpool3x3s2,
+        )
+        from ..ops.wpack_decoder import wpack, wunpack
+
+        if self.num_layers > 34:
+            raise ValueError("wpack_stem requires BasicBlock stages "
+                             "(num_layers <= 34)")
+        kernel = _StemKernel((7, 7, 3 * self.num_input_images, 64),
+                             name="conv1")()
+        f0p = s2d4_stem_conv(x, kernel.astype(self.dtype))
+        f0p = PackedBatchNorm(64, 2, dtype=self.dtype, name="bn1")(
+            f0p, use_running_average=not train)
+        f0p = nn.relu(f0p)
+
+        x = wpack_maxpool3x3s2(f0p)  # unpacked (B,H/4,W/4,64)
+        xp = wpack(x, 2)
+        blocks, _ = _STAGES[self.num_layers]
+        for b in range(blocks[0]):
+            xp = PackedBasicBlock(64, 2, dtype=self.dtype,
+                                  name=f"layer1_{b}")(xp, train=train)
+
+        features = [wunpack(f0p, 2), wunpack(xp, 2)]
+        x = features[1]
+        for stage in range(1, 4):
             x = run_stage(x, stage, self.num_layers, self.dtype, train)
             features.append(x)
         return features

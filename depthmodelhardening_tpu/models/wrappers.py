@@ -37,6 +37,7 @@ class MonodepthModel(nn.Module):
     dtype: Any = jnp.float32
     fuse_upconv: bool = False
     s2d_stem: bool = False
+    wpack_stem: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
 
@@ -44,6 +45,7 @@ class MonodepthModel(nn.Module):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
                                      dtype=self.dtype,
                                      s2d_stem=self.s2d_stem,
+                                     wpack_stem=self.wpack_stem,
                                      name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
                                     dtype=self.dtype,
@@ -85,8 +87,9 @@ class DepthPredictor:
 def make_monodepth2(num_layers: int = 18,
                     scales: Sequence[int] = (0, 1, 2, 3),
                     dtype=jnp.float32, **perf_flags) -> MonodepthModel:
-    """perf_flags: s2d_stem / wpack_decoder / packed_decoder /
-    fuse_upconv — exact flag-gated rewrites, same parameter tree."""
+    """perf_flags: s2d_stem / wpack_stem / wpack_decoder /
+    packed_decoder / fuse_upconv — exact flag-gated rewrites, same
+    parameter tree."""
     return MonodepthModel(num_layers=num_layers, scales=scales,
                           dtype=dtype, **perf_flags)
 

@@ -154,6 +154,111 @@ def wpack_conv3x3_kernel33(kernel: jnp.ndarray, f: int,
     return jnp.stack([c0, c1, c2], axis=1)  # (3,3,f*Cin,f*Cout)
 
 
+def wpack_up2_kernels(kernel: jnp.ndarray, f: int):
+    """Compose nearest-up2 with the 3x3 conv: (3,3,Cin,Cout) -> two
+    (2,3,f*Cin,2f*Cout) kernels, one per output ROW phase.
+
+    Y = conv3x3(nearest_up2(X)) evaluated without materializing the
+    upsampled tensor. Output row o=2i+a of the up-res conv taps up rows
+    o-1..o+1 = X rows {i-1,i,i} (a=0) / {i,i,i+1} (a=1), so each row
+    phase is a 2-row-tap conv of X with row-combined weights
+    (k0, k1+k2) / (k0+k1, k2). Width is the same composition per
+    output phase b (orig up col 2f*j+b): up cols 2fj+b-1+d map to X
+    cols f*j + (b+d-1)//2, a 3-packed-block window where only b=0
+    spills left (X phase -1 = block j-1 phase f-1) and b=2f-1 spills
+    right. The executed-FLOP count is 2*(2*3)/(2*9) = 2/3 of the conv
+    on the materialized up tensor (input lanes halve: f*Cin vs 2f*Cin)
+    and the (B,2H,M,2f*C) intermediate plus its broadcast/reduce
+    adjoint pair disappear.
+    """
+    Cin, Cout = kernel.shape[2], kernel.shape[3]
+    F = 2 * f
+    # row-combined 3-col-tap kernels: ka[a][rt] (3cols, Cin, Cout)
+    ka = [[kernel[0], kernel[1] + kernel[2]],
+          [kernel[0] + kernel[1], kernel[2]]]
+
+    def build(a):
+        rows = []
+        for rt in range(2):
+            kc = ka[a][rt]  # (3, Cin, Cout) col taps
+            cols = []
+            for cb in range(3):  # xe blocks j-1, j, j+1
+                blocks_in = []
+                for q in range(f):
+                    r_rel = f * (cb - 1) + q
+                    outs = []
+                    for b in range(F):
+                        w = None
+                        for d in range(3):
+                            if (b + d - 1) // 2 == r_rel:
+                                w = (kc[d] if w is None
+                                     else w + kc[d])
+                        outs.append(w if w is not None else
+                                    jnp.zeros((Cin, Cout),
+                                              kernel.dtype))
+                    blocks_in.append(jnp.concatenate(outs, axis=1))
+                cols.append(jnp.concatenate(blocks_in, axis=0))
+            rows.append(jnp.stack(cols, 0))
+        return jnp.stack(rows, 0)  # (2, 3, f*Cin, F*Cout)
+
+    return build(0), build(1)
+
+
+def wpack_up2conv3x3_reflect(x: jnp.ndarray, kernel: jnp.ndarray,
+                             bias: Optional[jnp.ndarray] = None,
+                             f: int = 4, dtype=None) -> jnp.ndarray:
+    """wpack(conv3x3(reflect_pad1(nearest_up2(X))) [+ bias], 2f) given
+    wpack(X, f) — the fused upsample+conv used by the width-packed
+    decoder (reference chain: layers.py upsample + Conv3x3).
+
+    The reflect pad happens at the UP resolution, so every pad value is
+    a NEAREST copy of X: up row -1 reflects to up row 1 = X row 0 and
+    up col -1 to X col 0 (up index 2k+1 // 2 = k). xe is therefore X
+    extended with verbatim row 0 / row H-1 copies and one pad block per
+    side whose single tapped phase slot carries X col 0 / col W-1.
+    Two VALID convs over xe (negative row padding selects each row
+    phase's window) then interleave on the row dimension — outer-dim
+    only, no lane/sublane retiling. Exact to float associativity
+    (tests/test_packed_decoder.py::test_wpack_up2conv_exact).
+    """
+    dt = dtype or x.dtype
+    x = x.astype(dt)
+    B, H, M, FC = x.shape
+    Cin, Cout = kernel.shape[2], kernel.shape[3]
+    assert FC == f * Cin, (FC, f, Cin)
+    F = 2 * f
+    ka0, ka1 = wpack_up2_kernels(kernel, f)
+    ka0 = ka0.astype(dt)
+    ka1 = ka1.astype(dt)
+
+    # nearest pad blocks: left block phase f-1 slot <- X col 0
+    # (block 0 phase 0); right block phase 0 slot <- X col W-1
+    z = jnp.zeros((B, H, 1, (f - 1) * Cin), dt)
+    left = jnp.concatenate([z, x[:, :, 0:1, 0:Cin]], axis=-1)
+    right = jnp.concatenate(
+        [x[:, :, M - 1:M, (f - 1) * Cin:f * Cin], z], axis=-1)
+    xe = jnp.concatenate([left, x, right], axis=2)
+    # nearest row pads: copies of rows 0 and H-1
+    xe = jnp.concatenate([xe[:, 0:1], xe, xe[:, H - 1:H]], axis=1)
+
+    def conv(lhs, rhs, row_pad):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1),
+            padding=(row_pad, (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # xe has H+2 rows; a 2-row kernel yields H+1 positions. Row phase
+    # a=0 wants windows (i, i+1) -> positions 0..H-1; a=1 wants
+    # (i+1, i+2) -> positions 1..H. Negative window padding trims the
+    # unused position inside the conv itself.
+    y0 = conv(xe, ka0, (0, -1))  # (B,H,M,F*Cout)
+    y1 = conv(xe, ka1, (-1, 0))
+    y = jnp.stack([y0, y1], axis=2).reshape(B, 2 * H, M, F * Cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, F).astype(dt)
+    return y
+
+
 def _left_right_cols(x: jnp.ndarray, f: int, C_seg: Sequence[int]):
     """Reflect-adjusted pad block columns of a width-packed tensor.
 

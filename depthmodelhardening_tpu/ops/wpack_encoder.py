@@ -1,0 +1,144 @@
+"""Width-packed ResNet encoder stages — exact MXU-lane fixes for the
+stem and layer1, the encoder's two padded-lane FLOP sinks.
+
+The reference encoder (resnet_encoder.py:87-98) spends most of its
+executed TPU FLOPs in two places that pad badly onto the 128-lane MXU:
+
+  * the 7x7/stride-2 stem: Cin=3 -> 12 with the 2x2 space-to-depth
+    rewrite (ops/fused_upconv.py), still 12/128 input lanes = ~10x
+    padded-lane waste;
+  * layer1's four 64-channel 3x3 convs: 64/128 lanes on both sides =
+    4x waste.
+
+This module applies the width-packing idea of ops/wpack_decoder.py to
+both:
+
+  * `s2d4_stem_conv`: the stem as TWO (3,3,48,128) convs over the 4x4
+    space-to-depth blocking of the input — one conv per OUTPUT ROW
+    phase, each producing both output COLUMN phases as lanes, i.e. the
+    stem output arrives natively WIDTH-PACKED at f=2 (lane = q*64 + c).
+    Executed FLOPs per output pixel drop ~3.6x vs the 2x2-s2d stem
+    (2*9*128*128 per 4 outputs vs 16*128*128 per output).
+  * `wpack_maxpool3x3s2`: the 3x3/stride-2 max pool consuming the
+    packed f=2 stem feature directly — the width window never crosses
+    more than one block boundary, so it is three lane-slices and one
+    block shift; rows use a standard reduce_window. Emits the standard
+    unpacked layout for layer1.
+  * `wpack_conv3x3_zero`: zero-SAME 3x3 conv on width-packed tensors
+    (the packed kernel33 with the conv's own zero padding supplying the
+    all-zero pad blocks — layer1's convs are zero-padded, so no
+    reflect machinery is needed).
+  * `PackedBatchNorm` (models/resnet.py) combines per-lane batch
+    moments across the f phases — exact in both train and eval modes
+    because every phase sees the same element count.
+
+All rewrites are exact to float associativity and share the parameter
+tree with the naive modules (tests/test_wpack_encoder.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .wpack_decoder import wpack_conv3x3_kernel33
+
+
+def pack_stem_kernel4(kernel: jnp.ndarray):
+    """(7,7,Cin,64) stride-2 stem kernel -> two (3,3,16*Cin,128)
+    kernels over the 4x4 space-to-depth blocking, one per output row
+    phase a; output lanes are (column phase, channel)-major so the
+    conv output IS wpack(stem_out, 2).
+
+    Output row r=2j+a (stride-2 grid H/2) taps full-res rows
+    4j+2a-3+t (t=0..6) = blocked rows j+(u-1) at block-row phase p
+    with t = 4(u-1)+p-2a+3; analogously for columns with phase b.
+    """
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    zero = jnp.zeros((cin, cout), kernel.dtype)
+
+    def tap(u, p, a):
+        # full-res offset of blocked row (u-1), phase p for output
+        # phase a: row index 4j+4(u-1)+p vs taps 4j+2a-3..4j+2a+3
+        t = 4 * (u - 1) + p - (2 * a - 3)
+        return t if 0 <= t < 7 else None
+
+    kernels = []
+    for a in range(2):
+        rows = []
+        for u in range(3):
+            cols = []
+            for v in range(3):
+                ins = []
+                # input lane order matches a reshape-based 4x4
+                # space-to-depth: (p, q, c) with c fastest
+                for p in range(4):
+                    for q in range(4):
+                        outs = []
+                        for b in range(2):  # output col phase
+                            tu = tap(u, p, a)
+                            tv = tap(v, q, b)
+                            outs.append(kernel[tu, tv]
+                                        if tu is not None
+                                        and tv is not None else zero)
+                        ins.append(jnp.concatenate(outs, axis=1))
+                cols.append(jnp.concatenate(ins, axis=0))
+            rows.append(jnp.stack(cols, 0))
+        kernels.append(jnp.stack(rows, 0))  # (3,3,16*Cin,2*cout)
+    return kernels[0], kernels[1]
+
+
+def s2d4_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """== wpack(conv7x7_stride2_pad3(x, kernel), 2): the ResNet stem
+    over 4x4 space-to-depth blocked input, output width-packed at f=2.
+    H, W must be divisible by 4."""
+    B, H, W, C = x.shape
+    if H % 4 or W % 4:
+        raise ValueError("s2d4 stem needs H, W divisible by 4")
+    xb = x.reshape(B, H // 4, 4, W // 4, 4, C)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4,
+                                                16 * C)
+    ka0, ka1 = pack_stem_kernel4(kernel)
+    ka0 = ka0.astype(x.dtype)
+    ka1 = ka1.astype(x.dtype)
+
+    def conv(rhs):
+        return jax.lax.conv_general_dilated(
+            xb, rhs, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y0 = conv(ka0)  # (B, H/4, W/4, 128): output rows 2j
+    y1 = conv(ka1)  # output rows 2j+1
+    B_, Hb, Wb, FC = y0.shape
+    y = jnp.stack([y0, y1], axis=2).reshape(B_, 2 * Hb, Wb, FC)
+    return y  # (B, H/2, W/4, 2*64) = wpack(stem, 2)
+
+
+def wpack_maxpool3x3s2(xp: jnp.ndarray, C: int = 64) -> jnp.ndarray:
+    """3x3/stride-2 max pool (pad 1) of the UNPACKED tensor, computed
+    from its f=2 width-packed form; emits the unpacked layout.
+
+    Width: output col o taps cols 2o-1, 2o, 2o+1 = (block o-1 phase 1),
+    (block o phase 0), (block o phase 1) — two lane slices and one
+    1-block shift. Rows: standard 3/stride-2 reduce_window.
+    """
+    B, H, M, FC = xp.shape
+    assert FC == 2 * C, (FC, C)
+    p0, p1 = xp[..., :C], xp[..., C:]
+    p1s = jnp.pad(p1, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :, :M]
+    w = jnp.maximum(jnp.maximum(p0, p1), p1s)  # (B, H, M, C)
+    return jax.lax.reduce_window(
+        w, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+        ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def wpack_conv3x3_zero(xp: jnp.ndarray, kernel: jnp.ndarray,
+                       f: int = 2) -> jnp.ndarray:
+    """wpack(conv3x3_zero_SAME(X, kernel), f) given wpack(X, f): the
+    phase-blocked kernel33 with the conv's own zero padding supplying
+    the (all-zero) pad blocks and rows."""
+    k33 = wpack_conv3x3_kernel33(kernel, f).astype(xp.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, k33, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))

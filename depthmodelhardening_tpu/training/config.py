@@ -116,10 +116,12 @@ class HardeningConfig:
     # pose instead of the reference's zero lookups (beyond-reference;
     # requires model_family="manydepth" and monocular frame_ids)
     manydepth_real_lookup: bool = False
-    # exact TPU conv rewrites (models/resnet.py s2d_stem,
+    # exact TPU conv rewrites (models/resnet.py s2d_stem / wpack_stem,
     # models/depth_decoder.py fuse_upconv / packed channel-major
-    # decoder stages, ops/packed_decoder.py) — numerics identical
+    # decoder stages, ops/packed_decoder.py) — numerics identical.
+    # wpack_stem supersedes s2d_stem (it covers the stem AND layer1).
     s2d_stem: bool = False
+    wpack_stem: bool = False
     fuse_upconv: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
@@ -148,6 +150,7 @@ class DistillConfig:
     tile_h: int = 256
     tile_w: int = 256
     s2d_stem: bool = False
+    wpack_stem: bool = False
     fuse_upconv: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False

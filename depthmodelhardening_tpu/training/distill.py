@@ -88,6 +88,7 @@ class DistillTrainer:
         kw = dict(num_layers=num_layers,
                   dtype=jnp.dtype(cfg.compute_dtype),
                   s2d_stem=cfg.s2d_stem,
+                  wpack_stem=cfg.wpack_stem,
                   fuse_upconv=cfg.fuse_upconv,
                   packed_decoder=cfg.packed_decoder,
                   wpack_decoder=cfg.wpack_decoder)

@@ -98,10 +98,10 @@ class HardeningTrainer:
         if cfg.model_family == "manydepth":
             from ..models.wrappers import ManyDepthTrainModel
 
-            if cfg.s2d_stem:
+            if cfg.s2d_stem or cfg.wpack_stem:
                 raise ValueError(
-                    "s2d_stem applies to the plain ResNet stem; the "
-                    "manydepth matching encoder has its own stem")
+                    "s2d_stem/wpack_stem apply to the plain ResNet "
+                    "stem; the manydepth matching encoder has its own")
             self.model = ManyDepthTrainModel(
                 num_layers=cfg.num_layers, scales=ss.scales,
                 input_height=ss.height, input_width=ss.width,
@@ -113,6 +113,7 @@ class HardeningTrainer:
             self.model = MonodepthModel(num_layers=cfg.num_layers,
                                         scales=ss.scales, dtype=dtype,
                                         s2d_stem=cfg.s2d_stem,
+                                        wpack_stem=cfg.wpack_stem,
                                         fuse_upconv=cfg.fuse_upconv,
                                         packed_decoder=cfg.packed_decoder,
                                         wpack_decoder=cfg.wpack_decoder)

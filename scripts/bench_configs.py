@@ -61,7 +61,7 @@ def timeit(f, *args, n=5):
 def bench_distill(adv_type: str):
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), s2d_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -70,7 +70,7 @@ def bench_distill(adv_type: str):
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
                         attack_crop_w=384, attack_crop_h=256,
-                        s2d_stem=True, wpack_decoder=True)
+                        wpack_stem=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()
@@ -96,7 +96,7 @@ def bench_distill(adv_type: str):
 def bench_hardening():
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), s2d_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -107,7 +107,7 @@ def bench_hardening():
                            attack_crop_w=384, attack_crop_h=256,
                            ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",
-        s2d_stem=True, wpack_decoder=True)
+        wpack_stem=True, wpack_decoder=True)
     trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
                                teacher=teacher, steps_per_epoch=100)
     state = trainer.make_state()

@@ -64,7 +64,7 @@ def prof_train_step(tmpdir):
 
     teacher_model, teacher_vars = init_monodepth2(
         jax.random.PRNGKey(0), H, W, dtype=DT, scales=(0,),
-        s2d_stem=True, wpack_decoder=True)
+        wpack_stem=True, wpack_decoder=True)
     teacher = predictor_from(teacher_model, teacher_vars)
     obj, mask = make_car_object(300, 200, seed=0)
     cfg = DistillConfig(adv_type="object", epsilon=0.1, alpha=0.005,
@@ -72,7 +72,7 @@ def prof_train_step(tmpdir):
                         ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
                         attack_crop_w=384, attack_crop_h=256,
-                        s2d_stem=True, wpack_decoder=True)
+                        wpack_stem=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()

@@ -223,3 +223,47 @@ def test_wlane_up2_exact():
         got = wunpack(wlane_up2(wpack(x, f), f, C), 2 * f)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+
+def test_wpack_up2conv_exact():
+    """wpack_up2conv3x3_reflect(X) == reflect-conv3x3 of the
+    materialized nearest-up2, values and input/kernel grads, across
+    (f, C, H, W) combos including W/f = 2 blocks."""
+    from depthmodelhardening_tpu.ops.padding import reflect_pad1
+    from depthmodelhardening_tpu.ops.resize import nearest_upsample2
+    from depthmodelhardening_tpu.ops.wpack_decoder import (
+        wpack, wpack_up2conv3x3_reflect, wunpack,
+    )
+
+    def ref_conv(x, k, b):
+        up = nearest_upsample2(x)
+        xe = reflect_pad1(up)
+        return jax.lax.conv_general_dilated(
+            xe, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    rng = np.random.RandomState(7)
+    for (H, W, C, Cout, f) in ((6, 16, 3, 5, 2), (4, 24, 16, 16, 4),
+                               (5, 16, 4, 2, 8), (3, 8, 6, 4, 4)):
+        x = jnp.asarray(rng.rand(2, H, W, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, C, Cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+
+        ref = ref_conv(x, k, b)
+        got = wunpack(
+            wpack_up2conv3x3_reflect(wpack(x, f), k, b, f=f), 2 * f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_ref(x, k):
+            return jnp.sum(jnp.sin(ref_conv(x, k, b)))
+
+        def loss_got(x, k):
+            return jnp.sum(jnp.sin(wunpack(
+                wpack_up2conv3x3_reflect(wpack(x, f), k, b, f=f),
+                2 * f)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        gg = jax.grad(loss_got, argnums=(0, 1))(x, k)
+        for a, bb in zip(gr, gg):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)

@@ -1,0 +1,145 @@
+"""Width-packed encoder stages (ops/wpack_encoder.py): exactness of
+the 4x4-s2d stem, packed max pool, packed zero-SAME conv, packed
+BatchNorm, and the full flag-gated encoder vs the naive ResNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthmodelhardening_tpu.ops.wpack_decoder import wpack, wunpack
+from depthmodelhardening_tpu.ops.wpack_encoder import (
+    s2d4_stem_conv, wpack_conv3x3_zero, wpack_maxpool3x3s2,
+)
+
+
+def test_s2d4_stem_conv_matches_7x7_stride2():
+    rng = np.random.RandomState(0)
+    for (H, W, Cin) in ((16, 24, 3), (12, 16, 6), (8, 8, 3)):
+        x = jnp.asarray(rng.randn(2, H, W, Cin), jnp.float32)
+        k = jnp.asarray(rng.randn(7, 7, Cin, 64), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = wunpack(s2d4_stem_conv(x, k), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # input gradient (the attack loop differentiates through the
+        # stem wrt the composited scene)
+        gr = jax.grad(lambda x: jnp.sum(jnp.sin(
+            jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))))(x)
+        gg = jax.grad(lambda x: jnp.sum(jnp.sin(
+            wunpack(s2d4_stem_conv(x, k), 2))))(x)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_wpack_maxpool_matches_naive():
+    import flax.linen as nn
+
+    rng = np.random.RandomState(1)
+    for (H, W) in ((16, 24), (8, 16)):
+        x = jnp.asarray(rng.randn(2, H, W, 64), jnp.float32)
+        ref = nn.max_pool(x, (3, 3), strides=(2, 2),
+                          padding=((1, 1), (1, 1)))
+        got = wpack_maxpool3x3s2(wpack(x, 2))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_wpack_conv3x3_zero_matches_same_conv():
+    rng = np.random.RandomState(2)
+    for (H, W, C, f) in ((6, 16, 64, 2), (5, 24, 16, 4)):
+        x = jnp.asarray(rng.randn(2, H, W, C), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, C, C), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = wunpack(wpack_conv3x3_zero(wpack(x, f), k, f), f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_packed_batchnorm_matches_flax_train_and_eval():
+    import flax.linen as nn
+
+    from depthmodelhardening_tpu.models.resnet import PackedBatchNorm
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 6, 16, 8) * 2 + 1, jnp.float32)
+    ref_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+    pk_bn = PackedBatchNorm(channels=8, f=2)
+    v_ref = ref_bn.init(jax.random.PRNGKey(0), x,
+                        use_running_average=False)
+    v_pk = pk_bn.init(jax.random.PRNGKey(0), wpack(x, 2),
+                      use_running_average=False)
+    assert (jax.tree_util.tree_structure(v_ref)
+            == jax.tree_util.tree_structure(v_pk))
+
+    # train mode: same normalized output, same updated running stats
+    y_ref, m_ref = ref_bn.apply(v_ref, x, use_running_average=False,
+                                mutable=["batch_stats"])
+    y_pk, m_pk = pk_bn.apply(v_ref, wpack(x, 2),
+                             use_running_average=False,
+                             mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(wunpack(y_pk, 2)),
+                               np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    for kname in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(m_pk["batch_stats"][kname]),
+            np.asarray(m_ref["batch_stats"][kname]),
+            rtol=1e-5, atol=1e-6)
+
+    # eval mode against nontrivial running stats
+    v2 = {"params": v_ref["params"],
+          "batch_stats": {"mean": jnp.asarray(rng.randn(8),
+                                              jnp.float32),
+                          "var": jnp.asarray(rng.rand(8) + 0.5,
+                                             jnp.float32)}}
+    y_ref = ref_bn.apply(v2, x, use_running_average=True)
+    y_pk = pk_bn.apply(v2, wpack(x, 2), use_running_average=True)
+    np.testing.assert_allclose(np.asarray(wunpack(y_pk, 2)),
+                               np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_wpack_encoder_model_parity():
+    """ResnetEncoder(wpack_stem=True): same parameter tree, features,
+    input gradients, and train-mode batch_stats as the naive encoder."""
+    from depthmodelhardening_tpu.models.resnet import ResnetEncoder
+
+    H, W = 32, 48
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, H, W, 3))
+    naive = ResnetEncoder(num_layers=18)
+    wp = ResnetEncoder(num_layers=18, wpack_stem=True)
+    v = naive.init(jax.random.PRNGKey(1), x, train=False)
+    v2 = wp.init(jax.random.PRNGKey(1), x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    f_ref = naive.apply(v, x, train=False)
+    f_wp = wp.apply(v, x, train=False)
+    for a, b in zip(f_ref, f_wp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+    g_ref = jax.grad(lambda x: sum(jnp.sum(jnp.sin(f))
+                                   for f in naive.apply(v, x,
+                                                        train=False)))(x)
+    g_wp = jax.grad(lambda x: sum(jnp.sum(jnp.sin(f))
+                                  for f in wp.apply(v, x,
+                                                    train=False)))(x)
+    np.testing.assert_allclose(np.asarray(g_wp), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    # train mode: identical batch_stats updates through stem + layer1
+    _, m_ref = naive.apply(v, x, train=True, mutable=["batch_stats"])
+    _, m_wp = wp.apply(v, x, train=True, mutable=["batch_stats"])
+    flat_ref = jax.tree_util.tree_leaves_with_path(m_ref)
+    flat_wp = {jax.tree_util.keystr(p): l for p, l
+               in jax.tree_util.tree_leaves_with_path(m_wp)}
+    for p, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_wp[jax.tree_util.keystr(p)]),
+            np.asarray(leaf), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(p))
