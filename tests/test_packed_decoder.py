@@ -136,9 +136,25 @@ def test_wpack_conv_matches_reflect_conv():
                                    atol=5e-3)
 
 
+def _model_outs_and_grad(model, v, x):
+    """ONE trace per model: all disparity scales + input gradient
+    (tracing the ~200-module model dominates this file's wall time,
+    so the apply / grad / multi-scale checks share a single
+    value_and_grad(has_aux=True) program)."""
+
+    def loss(x):
+        _, outs = model.apply(v, x, train=False,
+                              method=model.features_and_disps)
+        return jnp.sum(outs[("disp", 0)] ** 2), outs
+
+    (_, outs), g = jax.value_and_grad(loss, has_aux=True)(x)
+    return outs, g
+
+
 def test_wpack_decoder_model_parity():
     """Full MonodepthModel with wpack_decoder=True: same parameter
-    tree, same disparities and input gradients as the naive model."""
+    tree, same disparities (all scales) and input gradients as the
+    naive model."""
     from depthmodelhardening_tpu.models.wrappers import MonodepthModel
 
     H, W = 64, 96
@@ -150,26 +166,17 @@ def test_wpack_decoder_model_parity():
     assert (jax.tree_util.tree_structure(v)
             == jax.tree_util.tree_structure(v2))
 
-    d_ref = naive.apply(v, x, train=False)
-    d_wp = wp.apply(v, x, train=False)
-    np.testing.assert_allclose(np.asarray(d_wp), np.asarray(d_ref),
-                               atol=1e-5)
-
-    g_ref = jax.grad(lambda x: jnp.sum(naive.apply(v, x) ** 2))(x)
-    g_wp = jax.grad(lambda x: jnp.sum(wp.apply(v, x) ** 2))(x)
-    np.testing.assert_allclose(np.asarray(g_wp), np.asarray(g_ref),
-                               atol=1e-5)
-
-    _, outs_ref = naive.apply(v, x, train=False,
-                              method=naive.features_and_disps)
-    _, outs_wp = wp.apply(v, x, train=False,
-                          method=wp.features_and_disps)
+    outs_ref, g_ref = _model_outs_and_grad(naive, v, x)
+    outs_wp, g_wp = _model_outs_and_grad(wp, v, x)
     assert set(outs_ref) == set(outs_wp)
     for key in outs_ref:
         np.testing.assert_allclose(np.asarray(outs_wp[key]),
                                    np.asarray(outs_ref[key]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_wp), np.asarray(g_ref),
+                               atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_decoder_model_parity():
     """Full MonodepthModel: packed_decoder=True shares the parameter
     tree and reproduces the naive model's disparities and input
@@ -187,25 +194,14 @@ def test_packed_decoder_model_parity():
     t2 = jax.tree_util.tree_structure(v2)
     assert t1 == t2
 
-    d_ref = naive.apply(v, x, train=False)
-    d_pk = packed.apply(v, x, train=False)
-    np.testing.assert_allclose(np.asarray(d_pk), np.asarray(d_ref),
-                               atol=1e-5)
-
-    g_ref = jax.grad(lambda x: jnp.sum(naive.apply(v, x) ** 2))(x)
-    g_pk = jax.grad(lambda x: jnp.sum(packed.apply(v, x) ** 2))(x)
-    np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
-                               atol=1e-5)
-
-    # all four scales of the multi-scale head path
-    _, outs_ref = naive.apply(v, x, train=False,
-                              method=naive.features_and_disps)
-    _, outs_pk = packed.apply(v, x, train=False,
-                              method=packed.features_and_disps)
+    outs_ref, g_ref = _model_outs_and_grad(naive, v, x)
+    outs_pk, g_pk = _model_outs_and_grad(packed, v, x)
     assert set(outs_ref) == set(outs_pk)
     for key in outs_ref:
         np.testing.assert_allclose(np.asarray(outs_pk[key]),
                                    np.asarray(outs_ref[key]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
+                               atol=1e-5)
 
 
 def test_wlane_up2_exact():

@@ -117,18 +117,20 @@ def test_wpack_encoder_model_parity():
     assert (jax.tree_util.tree_structure(v)
             == jax.tree_util.tree_structure(v2))
 
-    f_ref = naive.apply(v, x, train=False)
-    f_wp = wp.apply(v, x, train=False)
+    def outs_and_grad(model):
+        # one trace per model: features + input gradient together
+        def loss(x):
+            feats = model.apply(v, x, train=False)
+            return sum(jnp.sum(jnp.sin(f)) for f in feats), feats
+
+        (_, feats), g = jax.value_and_grad(loss, has_aux=True)(x)
+        return feats, g
+
+    f_ref, g_ref = outs_and_grad(naive)
+    f_wp, g_wp = outs_and_grad(wp)
     for a, b in zip(f_ref, f_wp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
-
-    g_ref = jax.grad(lambda x: sum(jnp.sum(jnp.sin(f))
-                                   for f in naive.apply(v, x,
-                                                        train=False)))(x)
-    g_wp = jax.grad(lambda x: sum(jnp.sum(jnp.sin(f))
-                                  for f in wp.apply(v, x,
-                                                    train=False)))(x)
     np.testing.assert_allclose(np.asarray(g_wp), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-3)
 
