@@ -25,12 +25,14 @@ jax.config.update("jax_platforms", "cpu")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Persistent compilation cache: the suite's wall time is dominated by
-# repeated jit compiles of the trainer/attack programs (VERDICT r2 weak
-# #5); bench.py uses the same recipe for the TPU step (bench.py:26-29).
+# XLA:CPU compiles — both jitted trainer/attack programs and the
+# op-by-op executables behind every eager primitive dispatch (~40 ms
+# each, thousands per run). min_compile_time=0 persists the eager
+# mini-programs too, which is most of the win on this 1-CPU machine.
 # A separate directory from the TPU .cache_jax keeps eviction pressure
 # off the expensive tunnel-compiled TPU executables.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(_REPO, ".cache_jax_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, _REPO)

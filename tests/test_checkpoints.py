@@ -44,13 +44,11 @@ def test_orbax_roundtrip(tmp_path):
 
 
 def test_checkpoint_pruning(tmp_path):
-    obj, mask = make_car_object(36, 24)
-    model, variables = init_monodepth2(jax.random.PRNGKey(7), H, W)
-    teacher = predictor_from(model, variables)
-    cfg = DistillConfig(adv_type="object", steps=1, batch_size=2,
-                        scene_h=H, scene_w=W, ori_h=96, ori_w=320)
-    tr = DistillTrainer(cfg, jax.random.PRNGKey(0), obj, mask, teacher)
-    state = tr.make_state()
+    # save_state is structure-agnostic (orbax StandardCheckpointer on a
+    # pytree); a tiny state exercises the pruning logic without paying
+    # for a full trainer init on every run.
+    state = {"params": {"w": jnp.ones((4, 4))},
+             "opt": {"mu": jnp.zeros((4, 4))}}
     ckpt = tmp_path / "ckpts"
     for s in range(4):
         save_state(str(ckpt), s, state, keep=2)

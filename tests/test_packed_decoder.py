@@ -147,7 +147,7 @@ def _model_outs_and_grad(model, v, x):
                               method=model.features_and_disps)
         return jnp.sum(outs[("disp", 0)] ** 2), outs
 
-    (_, outs), g = jax.value_and_grad(loss, has_aux=True)(x)
+    (_, outs), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(x)
     return outs, g
 
 

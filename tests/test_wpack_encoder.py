@@ -123,7 +123,7 @@ def test_wpack_encoder_model_parity():
             feats = model.apply(v, x, train=False)
             return sum(jnp.sum(jnp.sin(f)) for f in feats), feats
 
-        (_, feats), g = jax.value_and_grad(loss, has_aux=True)(x)
+        (_, feats), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(x)
         return feats, g
 
     f_ref, g_ref = outs_and_grad(naive)
