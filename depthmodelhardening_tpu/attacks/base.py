@@ -166,6 +166,17 @@ class PhysObjAttack:
         self.cfg = cfg
         self.eot = cfg.make_eot()
         self._jitted = {}
+        # Static proof that the banded pallas_warp kernels cover this
+        # attack's geometry — swept once here (eagerly: jit staging
+        # would turn the bool into a tracer) from the static dist/angle
+        # ranges + eval pins, and passed to every separable-warp call
+        # so the runtime dense-fallback cond compiles away
+        # (ops/pallas_warp.py).
+        self._bands_fit: bool = self.eot.check_bands_fit(
+            cfg.dist_range, cfg.angle_range, cfg.scene_h, cfg.scene_w,
+            min(cfg.tile_h, cfg.scene_h), min(cfg.tile_w, cfg.scene_w),
+            extra_z0=(cfg.eval_pin_z0,),
+            extra_alpha=(cfg.eval_pin_alpha,))
         # (variables, images) -> ("disp", cfg.attack_scale); assigned by
         # the trainer when cfg.attack_scale > 0 (the plain predict_fn
         # contract is disp0-only)
@@ -216,7 +227,8 @@ class PhysObjAttack:
             model_h=self.cfg.scene_h, model_w=self.cfg.scene_w,
             tile_h=min(self.cfg.tile_h, self.cfg.scene_h),
             tile_w=min(self.cfg.tile_w, self.cfg.scene_w),
-            adjoint_mode=self.cfg.adjoint_mode)
+            adjoint_mode=self.cfg.adjoint_mode,
+            bands_fit=self._bands_fit)
 
     def _objective(self, variables, scenes_full, obj_adv, z0s, alphas,
                    fine: bool = False,
@@ -280,7 +292,7 @@ class PhysObjAttack:
             obj_adv = obj_adv[None]
         tiles, y0s, x0s = self.eot.tiles_separable(
             (obj_adv,), self.obj_mask, z0s, alphas, Hm, Wm, th, tw,
-            dtype=dt)
+            dtype=dt, bands_fit=self._bands_fit)
         m_t = tiles[..., -1:]
 
         # crop offsets == _crop_to_object on the pasted full frame
@@ -446,9 +458,10 @@ class PhysObjAttack:
             # adv + benign share the homographies: one stacked warp
             adv, ben, masks = self.eot.composite_tiled_pair(
                 scenes_model, obj_adv, self.obj_img, self.obj_mask,
-                z0s, alphas, **kw)
+                z0s, alphas, bands_fit=self._bands_fit, **kw)
             return adv, ben, masks
         kw["adjoint_mode"] = self.cfg.adjoint_mode
+        kw["bands_fit"] = self._bands_fit
         adv, masks = self.eot.composite_tiled_model(
             scenes_model, obj_adv, self.obj_mask, z0s, alphas, **kw)
         ben, _ = self.eot.composite_tiled_model(

@@ -286,6 +286,11 @@ class ResnetEncoder(nn.Module):
             f0p, use_running_average=not train)
         f0p = nn.relu(f0p)
 
+        # NOTE: wpack_maxpool3x3s2_fused (one-recompute custom-VJP
+        # backward) measures FASTER in isolation but SLOWER inside the
+        # train step (the custom_vjp boundary blocks producer fusion
+        # with bn1/relu and the backward re-reads f0p from HBM;
+        # measured +35 ms on the step profile) — keep autodiff here.
         x = wpack_maxpool3x3s2(f0p)  # unpacked (B,H/4,W/4,64)
         xp = wpack(x, 2)
         blocks, _ = _STAGES[self.num_layers]

@@ -38,6 +38,8 @@ tree with the naive modules (tests/test_wpack_encoder.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -131,6 +133,83 @@ def wpack_maxpool3x3s2(xp: jnp.ndarray, C: int = 64) -> jnp.ndarray:
     return jax.lax.reduce_window(
         w, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
         ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def _wpool_width(xp: jnp.ndarray, C: int):
+    """Width part of the packed 3x3/s2 pool: pooled col o =
+    max(p1[o-1], p0[o], p1[o]) with p1[-1] = -inf."""
+    p0, p1 = xp[..., :C], xp[..., C:]
+    M = xp.shape[2]
+    p1s = jnp.pad(p1, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :, :M]
+    return p0, p1, p1s, jnp.maximum(jnp.maximum(p0, p1), p1s)
+
+
+def _rowpool(w: jnp.ndarray):
+    return jax.lax.reduce_window(
+        w, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+        ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def wpack_maxpool3x3s2_fused(xp: jnp.ndarray, C: int = 64):
+    """wpack_maxpool3x3s2 with a hand-rolled one-recompute backward.
+
+    XLA's autodiff of the max chain + pad/slice/concat transposes runs
+    ~4 full-tensor passes per select plus a SelectAndScatter — the
+    single largest elementwise bucket of the PGD step
+    (scripts/profile_step.py). The custom backward routes the
+    cotangent by equality masks instead: gw[r] = sum over the <=2
+    covering output rows of g*(w==y), then gp = gw*(p==w) per width
+    tap. Tie semantics: an input equal to the window max receives the
+    full cotangent from every window it tops (the standard
+    subgradient; XLA's S&S picks one winner — the difference only
+    matters for bit-equal pairs, e.g. co-zero relu outputs, and is an
+    equally valid subgradient).
+    """
+    _, _, _, w = _wpool_width(xp, C)
+    return _rowpool(w)
+
+
+def _wpool_fwd(xp, C):
+    p0, p1, p1s, w = _wpool_width(xp, C)
+    y = _rowpool(w)
+    return y, (xp, y)
+
+
+def _wpool_bwd(C, res, g):
+    xp, y = res
+    B, H, M, _ = xp.shape
+    assert H % 2 == 0 and y.shape[1] == H // 2, (H, y.shape)
+    p0, p1, p1s, w = _wpool_width(xp, C)
+
+    # row routing: w row r is covered by output rows (r-1)//2 (window
+    # top r-1 <= padded) and (r+1)//2; with pad 1 the window at output
+    # o covers w rows 2o-1..2o+1. Build gw[r] = sum_o in cover
+    # g[o] * (w[r] == y[o]) with two strided comparisons.
+    # output row o covers w rows 2o-1, 2o, 2o+1: even w rows r=2m are
+    # covered by o=m only; odd rows r=2m+1 by o=m and o=m+1. Strided
+    # slices instead of gathers (Ho = H//2 here since H is even).
+    w_even = w[:, 0::2]
+    w_odd = w[:, 1::2]
+    y1 = jnp.concatenate(
+        [y[:, 1:], jnp.full_like(y[:, :1], -jnp.inf)], axis=1)
+    g1 = jnp.concatenate([g[:, 1:], jnp.zeros_like(g[:, :1])], axis=1)
+    gw_even = jnp.where(w_even == y, g, 0)
+    gw_odd = (jnp.where(w_odd == y, g, 0)
+              + jnp.where(w_odd == y1, g1, 0))
+    gw = jnp.stack([gw_even, gw_odd], axis=2).reshape(
+        g.shape[0], H, M, w.shape[-1])
+    # width routing
+    g0 = jnp.where(p0 == w, gw, 0)
+    g1 = jnp.where(p1 == w, gw, 0)
+    g1s = jnp.where(p1s == w, gw, 0)
+    # p1s[o] = p1[o-1] => grad flows back shifted left
+    g1 = g1 + jnp.pad(g1s, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
+    return (jnp.concatenate([g0, g1], axis=-1).astype(xp.dtype),)
+
+
+wpack_maxpool3x3s2_fused.defvjp(_wpool_fwd, _wpool_bwd)
 
 
 def wpack_conv3x3_zero(xp: jnp.ndarray, kernel: jnp.ndarray,

@@ -472,11 +472,59 @@ class EoTCompositor:
         B = (d * X + e * (0.5 + y0) + f) / den - 0.5 - t_pad
         return sx, A, B, y0, x0
 
+    def check_bands_fit(self, dist_range, angle_range,
+                        model_h: int, model_w: int,
+                        tile_h: int, tile_w: int,
+                        Ts=(None,), extra_z0=(), extra_alpha=()) -> bool:
+        """Trace-time sweep: do the banded pallas_warp kernels'
+        accumulation windows (BAND_FWD/BAND_BWD rows) cover every
+        geometry this compositor can be asked to warp?
+
+        Sweeps a densified grid over [min, max] of the attack's static
+        dist/angle ranges (plus pinned eval values) for each stereo
+        extrinsic in Ts, reusing the exact band computation the kernels
+        run. The band extrema vary smoothly in (z0, alpha) and the
+        8-alignment leaves >=6 rows of slack at the measured worst
+        case, so a 61x61 grid is conservative. Callers pass the result
+        as `bands_fit` so the per-step lax.cond fallback (and its
+        operand copies) compiles away.
+        """
+        import numpy as np
+
+        from ..ops.pallas_warp import _bwd_bands, _fwd_bands
+
+        zs = np.concatenate([
+            np.linspace(float(np.min(dist_range)),
+                        float(np.max(dist_range)), 61),
+            np.asarray(list(extra_z0), np.float64).ravel()])
+        als = np.concatenate([
+            np.linspace(float(np.min(angle_range)),
+                        float(np.max(angle_range)), 61),
+            np.asarray(list(extra_alpha), np.float64).ravel()])
+        zg, ag = np.meshgrid(zs, als)
+        z = jnp.asarray(zg.ravel(), jnp.float32)
+        a = jnp.asarray(ag.ravel(), jnp.float32)
+        sx_f = model_w / self.cfg.scene_w
+        sy_f = model_h / self.cfg.scene_h
+        oh = self.cfg.obj_h
+        ow = self.cfg.obj_w
+        ok = True
+        for T in Ts:
+            geom = jax.vmap(lambda zz, aa: self._separable_geometry(
+                zz, aa, T, sx_f, sy_f, model_h, model_w,
+                tile_h, tile_w))
+            sx, A, B, _, _ = geom(z, a)
+            valid = (sx > -1.0) & (sx < float(ow))
+            _, fits_f = _fwd_bands(A, B, tile_h, oh, valid)
+            _, fits_b = _bwd_bands(A, B, oh, tile_h, valid)
+            ok = ok and bool(fits_f) and bool(fits_b)
+        return ok
+
     def tiles_separable(self, textures, mask, z0s, alphas,
                         model_h: int, model_w: int,
                         tile_h: int, tile_w: int,
                         T: Optional[jnp.ndarray] = None,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, bands_fit=None):
         """Separable-warp core WITHOUT the full-frame paste: warp any
         number of textures + the mask in ONE pass (channel concat) and
         return (tiles (B, tile_h, tile_w, sum(C)+1), y0s, x0s) — the
@@ -524,19 +572,22 @@ class EoTCompositor:
                                precision=_F32)
         inter = inter.astype(dtype)
 
-        tiles = vertical_resample(inter, As, Bs, tile_h)
+        valid = (sxs > -1.0) & (sxs < float(ow))
+        tiles = vertical_resample(inter, As, Bs, tile_h,
+                                  bands_fit=bands_fit, valid=valid)
         return tiles.transpose(0, 2, 3, 1), y0s, x0s  # (B,TH,TW,ΣC+1)
 
     def _tiled_separable(self, scenes_model, textures, mask,
                          z0s, alphas, model_h: int, model_w: int,
                          tile_h: int, tile_w: int,
-                         T: Optional[jnp.ndarray]):
+                         T: Optional[jnp.ndarray], bands_fit=None):
         """tiles_separable + per-sample paste into the scenes.
         Returns ([comp_per_texture], mask_full)."""
         chans = [t.shape[-1] for t in textures]
         tiles, y0s, x0s = self.tiles_separable(
             textures, mask, z0s, alphas, model_h, model_w,
-            tile_h, tile_w, T, dtype=scenes_model.dtype)
+            tile_h, tile_w, T, dtype=scenes_model.dtype,
+            bands_fit=bands_fit)
 
         def paste(scene_b, tile_b, y0, x0):
             m_t = tile_b[..., -1:]
@@ -563,7 +614,8 @@ class EoTCompositor:
     def composite_tiled_separable(self, scenes_model, obj, mask,
                                   z0s, alphas, model_h: int, model_w: int,
                                   tile_h: int = 256, tile_w: int = 256,
-                                  T: Optional[jnp.ndarray] = None):
+                                  T: Optional[jnp.ndarray] = None,
+                                  bands_fit=None):
         """Separable-warp fast path of composite_tiled_model.
 
         Numerically equal to the 2-D bilinear tile warp (the b=h=0
@@ -575,13 +627,14 @@ class EoTCompositor:
         """
         comps, mask_full = self._tiled_separable(
             scenes_model, (obj,), mask, z0s, alphas, model_h, model_w,
-            tile_h, tile_w, T)
+            tile_h, tile_w, T, bands_fit=bands_fit)
         return comps[0], mask_full
 
     def composite_tiled_pair(self, scenes_model, obj_a, obj_b, mask,
                              z0s, alphas, model_h: int, model_w: int,
                              tile_h: int = 256, tile_w: int = 256,
-                             T: Optional[jnp.ndarray] = None):
+                             T: Optional[jnp.ndarray] = None,
+                             bands_fit=None):
         """Composite TWO textures (e.g. adversarial + benign) against
         the same scenes/mask/EoT samples in a single separable warp —
         the finals of every object attack and the current-frame pair of
@@ -589,14 +642,15 @@ class EoTCompositor:
         channels halves the warp work. Returns (comp_a, comp_b, mask)."""
         comps, mask_full = self._tiled_separable(
             scenes_model, (obj_a, obj_b), mask, z0s, alphas,
-            model_h, model_w, tile_h, tile_w, T)
+            model_h, model_w, tile_h, tile_w, T, bands_fit=bands_fit)
         return comps[0], comps[1], mask_full
 
     def composite_tiled_model(self, scenes_model, obj, mask, z0s, alphas,
                               model_h: int, model_w: int,
                               tile_h: int = 256, tile_w: int = 256,
                               T: Optional[jnp.ndarray] = None,
-                              adjoint_mode: str = "separable"):
+                              adjoint_mode: str = "separable",
+                              bands_fit=None):
         """Warp + composite directly at model resolution inside a small
         tile around the object quad.
 
@@ -623,7 +677,7 @@ class EoTCompositor:
         if adjoint_mode == "separable":
             return self.composite_tiled_separable(
                 scenes_model, obj, mask, z0s, alphas, model_h, model_w,
-                tile_h, tile_w, T)
+                tile_h, tile_w, T, bands_fit=bands_fit)
         B = z0s.shape[0]
         C = obj.shape[-1]
         oh, ow = self.cfg.obj_h, self.cfg.obj_w

@@ -238,3 +238,61 @@ def test_separable_matches_2d_across_random_geometries():
                     f"veh={veh_w:.2f}x{veh_h:.2f}")
         np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r),
                                    atol=1e-4)
+
+
+def test_band_windows_cover_support():
+    """The banded kernels' precomputed 8-aligned windows cover every
+    row the 2-tap triangular kernel can touch ON COLUMNS WITH PASS-1
+    SUPPORT, over the full EoT geometry grid (support-free columns
+    have zero inter/Wx in both directions; the lax.cond fallback
+    guards geometries with wider bands)."""
+    import numpy as np
+
+    from depthmodelhardening_tpu.ops.pallas_warp import (
+        BAND_BWD, BAND_FWD, _bwd_bands, _fwd_bands,
+    )
+    from depthmodelhardening_tpu.physics.calibration import Calibration
+    from depthmodelhardening_tpu.physics.eot import (
+        ANGLE_RANGE, EVAL_DIST_RANGE, ORI_H, ORI_W, EoTCompositor,
+        EoTConfig, TRAIN_DIST_RANGE,
+    )
+
+    P = Calibration.default().P.astype(np.float32)
+    eot = EoTCompositor(EoTConfig(
+        obj_h=200, obj_w=300, scene_h=ORI_H, scene_w=ORI_W,
+        veh_h=1.6, veh_w=1.82, projection=P, proj_eps=0.0))
+    mh, mw, th, tw, oh, ow = 320, 1024, 256, 256, 200, 300
+    zs, als = np.meshgrid(
+        np.concatenate([np.asarray(TRAIN_DIST_RANGE),
+                        np.asarray(EVAL_DIST_RANGE)]),
+        np.asarray(ANGLE_RANGE))
+    geom = jax.vmap(lambda z, a: eot._separable_geometry(
+        z, a, None, mw / ORI_W, mh / ORI_H, mh, mw, th, tw))
+    sx, A, B, _, _ = geom(jnp.asarray(zs.ravel(), jnp.float32),
+                          jnp.asarray(als.ravel(), jnp.float32))
+    valid = (sx > -1.0) & (sx < float(ow))
+    s_f, fits_f = _fwd_bands(A, B, th, oh, valid)
+    s_b, fits_b = _bwd_bands(A, B, oh, th, valid)
+    assert bool(fits_f) and bool(fits_b)
+    A, B, s_f, s_b, valid = map(np.asarray, (A, B, s_f, s_b, valid))
+    ys = np.arange(th)[None, :, None]
+    sy = A[:, None, :] * ys + B[:, None, :]  # (N, th, tw)
+    for n in range(0, A.shape[0], 37):  # subsample configs
+        v = valid[n]
+        if not v.any():
+            continue
+        # nonzero weights on valid columns only
+        w_nz = (np.abs(sy[n][None, :, v]
+                       - np.arange(oh)[:, None, None]) < 1)
+        rows_touched = w_nz.any(axis=2)  # (oh, th)
+        for k in range(oh):
+            ys_nz = np.nonzero(rows_touched[k])[0]
+            if ys_nz.size:
+                assert ys_nz.min() >= s_f[n, k]
+                assert ys_nz.max() < s_f[n, k] + BAND_FWD
+        cols_touched = rows_touched.T  # (th, oh)
+        for y in range(th):
+            ks_nz = np.nonzero(cols_touched[y])[0]
+            if ks_nz.size:
+                assert ks_nz.min() >= s_b[n, y]
+                assert ks_nz.max() < s_b[n, y] + BAND_BWD

@@ -145,3 +145,23 @@ def test_wpack_encoder_model_parity():
             np.asarray(flat_wp[jax.tree_util.keystr(p)]),
             np.asarray(leaf), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(p))
+
+
+def test_fused_maxpool_matches_autodiff_path():
+    """wpack_maxpool3x3s2_fused: fwd bit-equal to wpack_maxpool3x3s2,
+    bwd equal on continuous inputs (no ties) and mass-preserving on
+    relu-style tied inputs."""
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        wpack_maxpool3x3s2, wpack_maxpool3x3s2_fused,
+    )
+
+    k = jax.random.PRNGKey(3)
+    xp = jax.random.normal(k, (2, 16, 12, 128), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(wpack_maxpool3x3s2_fused(xp, 64)),
+        np.asarray(wpack_maxpool3x3s2(xp)))
+    g = jax.random.normal(jax.random.fold_in(k, 1), (2, 8, 12, 64))
+    g0 = jax.grad(lambda x: jnp.sum(wpack_maxpool3x3s2(x) * g))(xp)
+    g1 = jax.grad(
+        lambda x: jnp.sum(wpack_maxpool3x3s2_fused(x, 64) * g))(xp)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
