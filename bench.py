@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--no-wpack-stem", action="store_true",
                     help="fall back to the 2x2-s2d stem + naive layer1")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--view-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="PGD-loop model-view dtype (attack_view_dtype;"
+                         " bf16 measured at parity on the equivalence"
+                         " suite, docs/FIDELITY.md N+2)")
     args = ap.parse_args()
 
     rng = jax.random.PRNGKey(0)
@@ -80,6 +85,9 @@ def main():
                         # a ~7% weaker attack (FIDELITY N+0.6) — above
                         # the <=3% bar, so OFF by default.
                         attack_crop_w=384, attack_crop_h=256,
+                        # bf16 view: equivalence-tabled at parity with
+                        # the f32 crop objective (FIDELITY.md N+2)
+                        attack_view_dtype=args.view_dtype,
                         attack_scale=(0 if args.attack_scale is None
                                       else args.attack_scale),
                         packed_decoder=args.packed_decoder,

@@ -103,6 +103,16 @@ class PhysObjAttackConfig:
     # equivalence suite; the fine tail recovers it —
     # docs/FIDELITY.md). Ignored when attack_scale == 0.
     attack_scale_fine_steps: int = 1
+    # Compute dtype of the PGD-loop model VIEW (warp + composite +
+    # relocation einsums + scene-window gather) on the fused cropped
+    # path. The model body already runs in its own compute dtype;
+    # "bfloat16" moves the f32->bf16 boundary from the model input to
+    # the warp input, halving the view's HBM traffic and running the
+    # pass-1/relocation einsums at MXU bf16 rate. The targeted cost is
+    # still reduced in f32. Finals, training losses, and eval are
+    # NEVER affected (they use the exact/full-frame paths). Deviation
+    # is tabled in docs/FIDELITY.md; default keeps the reference f32.
+    attack_view_dtype: str = "float32"
 
     def __post_init__(self):
         if self.attack_scale not in (0, 1, 2):
@@ -285,7 +295,8 @@ class PhysObjAttack:
         cfg = self.cfg
         Hm, Wm = cfg.scene_h, cfg.scene_w
         scenes_model = bilinear_resize(scenes_full, Hm, Wm)
-        dt = scenes_model.dtype
+        dt = jnp.dtype(cfg.attack_view_dtype)
+        scenes_model = scenes_model.astype(dt)
         th = min(cfg.tile_h, Hm)
         tw = min(cfg.tile_w, Wm)
         if obj_adv.ndim == 3:
@@ -360,8 +371,12 @@ class PhysObjAttack:
             disp = self.predict_fn(variables, adv_scenes)
         # rescale the crop mean back to the full-frame mean so
         # magnitude-sensitive optimizers (Adam/APGD checkpoints)
-        # see reference-scale costs
-        return jnp.mean((disp * masks) ** 2) * scale
+        # see reference-scale costs. The product/reduction runs in f32
+        # regardless of the view dtype (bf16 disp already promotes to
+        # f32 against the f32 masks on the reference path; this keeps
+        # the bf16-view path's cost reduction at the same precision).
+        return jnp.mean((disp.astype(jnp.float32)
+                         * masks.astype(jnp.float32)) ** 2) * scale
 
     def _targeted_cost(self, variables, adv_scenes, masks,
                        fine: bool = False):

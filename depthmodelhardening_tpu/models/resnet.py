@@ -271,9 +271,7 @@ class ResnetEncoder(nn.Module):
         float associativity; identical parameter tree
         (tests/test_wpack_encoder.py). Requires BasicBlock stages
         (num_layers <= 34). `x` arrives already normalized."""
-        from ..ops.wpack_encoder import (
-            s2d4_stem_conv, wpack_maxpool3x3s2,
-        )
+        from ..ops.wpack_encoder import s2d4_stem_conv
         from ..ops.wpack_decoder import wpack, wunpack
 
         if self.num_layers > 34:
@@ -286,19 +284,24 @@ class ResnetEncoder(nn.Module):
             f0p, use_running_average=not train)
         f0p = nn.relu(f0p)
 
-        # NOTE: wpack_maxpool3x3s2_fused (one-recompute custom-VJP
-        # backward) measures FASTER in isolation but SLOWER inside the
-        # train step (the custom_vjp boundary blocks producer fusion
-        # with bn1/relu and the backward re-reads f0p from HBM;
-        # measured +35 ms on the step profile) — keep autodiff here.
-        x = wpack_maxpool3x3s2(f0p)  # unpacked (B,H/4,W/4,64)
+        # Pool the UNPACKED stem activation (needed for features[0]
+        # anyway) with nn.max_pool: its backward is one monolithic
+        # SelectAndScatter, vs the packed max-chain's autodiff (two
+        # select routings + pad/slice/concat transposes) which was the
+        # step's largest elementwise bucket. wpack_maxpool3x3s2 /
+        # wpack_maxpool3x3s2_fused remain available (and tested); the
+        # fused custom-VJP variant measures FASTER in isolation but
+        # SLOWER in-step (fusion breakage + HBM re-reads).
+        f0 = wunpack(f0p, 2)
+        x = nn.max_pool(f0, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         xp = wpack(x, 2)
         blocks, _ = _STAGES[self.num_layers]
         for b in range(blocks[0]):
             xp = PackedBasicBlock(64, 2, dtype=self.dtype,
                                   name=f"layer1_{b}")(xp, train=train)
 
-        features = [wunpack(f0p, 2), wunpack(xp, 2)]
+        features = [f0, wunpack(xp, 2)]
         x = features[1]
         for stage in range(1, 4):
             x = run_stage(x, stage, self.num_layers, self.dtype, train)

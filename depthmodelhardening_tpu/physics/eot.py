@@ -570,11 +570,16 @@ class EoTCompositor:
             inter = jnp.einsum("bkjc,bjx->bckx", stacked, Wx,
                                preferred_element_type=jnp.float32,
                                precision=_F32)
-        inter = inter.astype(dtype)
+        # the pallas vertical kernel needs f32 rows (single-row dynamic
+        # loads are sublane-aligned at f32 but not at bf16); the warp
+        # runs f32 and the tiles are cast to the requested view dtype
+        # on the way out — the f32 kernels are already banded-cheap.
+        inter = inter.astype(jnp.float32)
 
         valid = (sxs > -1.0) & (sxs < float(ow))
         tiles = vertical_resample(inter, As, Bs, tile_h,
                                   bands_fit=bands_fit, valid=valid)
+        tiles = tiles.astype(dtype)
         return tiles.transpose(0, 2, 3, 1), y0s, x0s  # (B,TH,TW,ΣC+1)
 
     def _tiled_separable(self, scenes_model, textures, mask,

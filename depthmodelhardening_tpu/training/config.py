@@ -73,6 +73,9 @@ class AdvSynthConfig:
     # the last attack_scale_fine_steps inner steps back at disp0
     attack_scale: int = 0
     attack_scale_fine_steps: int = 1
+    # PGD-loop model-view compute dtype on the fused cropped path
+    # (attacks/base.py attack_view_dtype); "float32" = reference
+    attack_view_dtype: str = "float32"
     # EoT warp tile size (attacks/base.py tile_h/tile_w)
     tile_h: int = 256
     tile_w: int = 256
@@ -147,6 +150,7 @@ class DistillConfig:
     attack_crop_h: Optional[int] = None
     attack_scale: int = 0
     attack_scale_fine_steps: int = 1
+    attack_view_dtype: str = "float32"
     tile_h: int = 256
     tile_w: int = 256
     s2d_stem: bool = False

@@ -58,7 +58,8 @@ def build_attack(cfg: DistillConfig, predict_fn, obj_img, obj_mask):
         attack_crop_w=cfg.attack_crop_w,
         attack_crop_h=cfg.attack_crop_h,
         attack_scale=cfg.attack_scale,
-        attack_scale_fine_steps=cfg.attack_scale_fine_steps)
+        attack_scale_fine_steps=cfg.attack_scale_fine_steps,
+        attack_view_dtype=cfg.attack_view_dtype)
     if cfg.adv_type == "object":
         return PGDObjectAttack(predict_fn, obj_img, obj_mask, atk_cfg,
                                eps=cfg.epsilon, alpha=cfg.alpha,

@@ -154,7 +154,8 @@ class HardeningTrainer:
             attack_crop_w=cfg.adv.attack_crop_w,
             attack_crop_h=cfg.adv.attack_crop_h,
             attack_scale=cfg.adv.attack_scale,
-            attack_scale_fine_steps=cfg.adv.attack_scale_fine_steps)
+            attack_scale_fine_steps=cfg.adv.attack_scale_fine_steps,
+            attack_view_dtype=cfg.adv.attack_view_dtype)
         if cfg.adv.norm_type == "l_inf":
             self.attack = PGDObjectAttack(
                 student_predict, obj_img, obj_mask, atk_cfg,

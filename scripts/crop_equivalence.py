@@ -64,16 +64,25 @@ def main():
         return fn
 
     results = {}
-    for crop_w, crop_h, scale, fine in (
-            (None, None, 0, 0), (512, None, 0, 0), (512, 256, 0, 0),
-            (384, 256, 0, 0), (384, 256, 1, 0), (384, 256, 1, 1),
-            (384, 256, 2, 0), (384, 256, 2, 1), (384, 256, 2, 2)):
+    import sys
+    subset = sys.argv[1:] or None
+    for crop_w, crop_h, scale, fine, view in (
+            (None, None, 0, 0, "float32"),
+            (512, None, 0, 0, "float32"), (512, 256, 0, 0, "float32"),
+            (384, 256, 0, 0, "float32"), (384, 256, 1, 0, "float32"),
+            (384, 256, 1, 1, "float32"), (384, 256, 2, 0, "float32"),
+            (384, 256, 2, 1, "float32"), (384, 256, 2, 2, "float32"),
+            (384, 256, 0, 0, "bfloat16")):
         crop = (f"{crop_w}x{crop_h}"
-                + (f"s{scale}f{fine}" if scale else ""))
+                + (f"s{scale}f{fine}" if scale else "")
+                + ("bf16" if view == "bfloat16" else ""))
+        if subset and crop not in subset:
+            continue
         cfg = dataclasses.replace(base, attack_crop_w=crop_w,
                                   attack_crop_h=crop_h,
                                   attack_scale=scale,
-                                  attack_scale_fine_steps=fine)
+                                  attack_scale_fine_steps=fine,
+                                  attack_view_dtype=view)
         atk = PGDObjectAttack(predictor.apply_fn, jnp.asarray(obj),
                               jnp.asarray(mask), cfg,
                               eps=0.1, alpha=0.005, steps=10)
