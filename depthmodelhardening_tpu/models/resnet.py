@@ -271,7 +271,9 @@ class ResnetEncoder(nn.Module):
         float associativity; identical parameter tree
         (tests/test_wpack_encoder.py). Requires BasicBlock stages
         (num_layers <= 34). `x` arrives already normalized."""
-        from ..ops.wpack_encoder import s2d4_stem_conv
+        from ..ops.wpack_encoder import (
+            s2d4_stem_conv, wpack_maxpool3x3s2_rowfirst,
+        )
         from ..ops.wpack_decoder import wpack, wunpack
 
         if self.num_layers > 34:
@@ -284,17 +286,17 @@ class ResnetEncoder(nn.Module):
             f0p, use_running_average=not train)
         f0p = nn.relu(f0p)
 
-        # Pool the UNPACKED stem activation (needed for features[0]
-        # anyway) with nn.max_pool: its backward is one monolithic
-        # SelectAndScatter, vs the packed max-chain's autodiff (two
-        # select routings + pad/slice/concat transposes) which was the
-        # step's largest elementwise bucket. wpack_maxpool3x3s2 /
-        # wpack_maxpool3x3s2_fused remain available (and tested); the
-        # fused custom-VJP variant measures FASTER in isolation but
-        # SLOWER in-step (fusion breakage + HBM re-reads).
+        # Row-first packed pool: the 3-row/s2 reduce_window (and its
+        # SelectAndScatter backward) runs on the packed lane-full
+        # tensor, and the width max-chain then sees only half the
+        # rows. Values identical to nn.max_pool of the unpacked
+        # tensor (max commutes). Alternatives kept tested:
+        # wpack_maxpool3x3s2 (width-first packed — its max-chain
+        # backward was the step's largest elementwise bucket) and
+        # wpack_maxpool3x3s2_fused (one-recompute custom VJP — faster
+        # isolated, slower in-step from fusion breakage).
         f0 = wunpack(f0p, 2)
-        x = nn.max_pool(f0, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
+        x = wpack_maxpool3x3s2_rowfirst(f0p)
         xp = wpack(x, 2)
         blocks, _ = _STAGES[self.num_layers]
         for b in range(blocks[0]):

@@ -135,6 +135,27 @@ def wpack_maxpool3x3s2(xp: jnp.ndarray, C: int = 64) -> jnp.ndarray:
         ((0, 0), (1, 1), (0, 0), (0, 0)))
 
 
+def wpack_maxpool3x3s2_rowfirst(xp: jnp.ndarray,
+                                C: int = 64) -> jnp.ndarray:
+    """wpack_maxpool3x3s2 with the reductions commuted: rows first on
+    the PACKED tensor (the reduce_window and its SelectAndScatter
+    backward run lane-full at 2C=128), then the width max-chain on the
+    row-pooled half-height tensor (half the elements of the
+    width-first order). max commutes, so values are identical to
+    nn.max_pool of the unpacked tensor; only backward tie-routing
+    differs (equal-valued window entries — an equivalent
+    subgradient). Emits the unpacked (B, H/2, M, C) layout."""
+    B, H, M, FC = xp.shape
+    assert FC == 2 * C, (FC, C)
+    r = jax.lax.reduce_window(
+        xp, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+        ((0, 0), (1, 1), (0, 0), (0, 0)))  # (B, H/2, M, 2C)
+    p0, p1 = r[..., :C], r[..., C:]
+    p1s = jnp.pad(p1, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :, :M]
+    return jnp.maximum(jnp.maximum(p0, p1), p1s)
+
+
 def _wpool_width(xp: jnp.ndarray, C: int):
     """Width part of the packed 3x3/s2 pool: pooled col o =
     max(p1[o-1], p0[o], p1[o]) with p1[-1] = -inf."""

@@ -72,6 +72,9 @@ def prof_train_step(tmpdir):
                         ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
                         attack_crop_w=384, attack_crop_h=256,
+                        # keep identical to bench.py so the persistent
+                        # compilation cache is shared
+                        attack_view_dtype="bfloat16",
                         wpack_stem=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)

@@ -165,3 +165,15 @@ def test_fused_maxpool_matches_autodiff_path():
     g1 = jax.grad(
         lambda x: jnp.sum(wpack_maxpool3x3s2_fused(x, 64) * g))(xp)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+
+def test_rowfirst_maxpool_matches_width_first():
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        wpack_maxpool3x3s2, wpack_maxpool3x3s2_rowfirst,
+    )
+
+    k = jax.random.PRNGKey(4)
+    xp = jax.random.normal(k, (2, 16, 12, 128), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(wpack_maxpool3x3s2_rowfirst(xp, 64)),
+        np.asarray(wpack_maxpool3x3s2(xp)))
