@@ -65,6 +65,9 @@ class PGDObjectAttack(PhysObjAttack):
         coarse_steps = self.steps - fine_steps
         grad_coarse = jax.grad(
             lambda o, z, a: cost_fn(o, z, a, fine=False))
+        # NOTE measured: unroll=2 on this loop is SLOWER (85.9 vs 87.1
+        # imgs/s on the bench step) — the doubled body schedules worse
+        # than the while overhead it saves.
         obj_adv = jax.lax.fori_loop(0, coarse_steps, body(grad_coarse),
                                     obj_adv)
         if fine_steps:

@@ -162,7 +162,12 @@ class PackedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xp, use_running_average: bool):
+    def __call__(self, xp, use_running_average: bool, xp2=None):
+        """Normalize xp (and optionally a second equal-count phase
+        tensor xp2, e.g. the stem's row phases — moments are then the
+        average over both, matching the interleaved tensor's up to
+        float reduction order). Returns the normalized tensor, or the
+        (xp, xp2) pair when xp2 is given."""
         C, f = self.channels, self.f
         scale = self.param("scale", nn.initializers.ones, (C,),
                            jnp.float32)
@@ -172,12 +177,16 @@ class PackedBatchNorm(nn.Module):
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
+        parts = [xp] if xp2 is None else [xp, xp2]
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = xp.astype(jnp.float32)
-            lane_mean = jnp.mean(xf, axis=(0, 1, 2))        # (f*C,)
-            lane_ex2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+            lane_mean = sum(
+                jnp.mean(p.astype(jnp.float32), axis=(0, 1, 2))
+                for p in parts) / len(parts)                # (f*C,)
+            lane_ex2 = sum(
+                jnp.mean(jnp.square(p.astype(jnp.float32)),
+                         axis=(0, 1, 2)) for p in parts) / len(parts)
             mean = jnp.mean(lane_mean.reshape(f, C), axis=0)
             ex2 = jnp.mean(lane_ex2.reshape(f, C), axis=0)
             var = ex2 - mean * mean
@@ -190,7 +199,8 @@ class PackedBatchNorm(nn.Module):
         add = bias - mean * mul
         mul = jnp.tile(mul, f).astype(self.dtype)
         add = jnp.tile(add, f).astype(self.dtype)
-        return xp.astype(self.dtype) * mul + add
+        outs = [p.astype(self.dtype) * mul + add for p in parts]
+        return outs[0] if xp2 is None else tuple(outs)
 
 
 class PackedBasicBlock(nn.Module):
@@ -272,7 +282,7 @@ class ResnetEncoder(nn.Module):
         (tests/test_wpack_encoder.py). Requires BasicBlock stages
         (num_layers <= 34). `x` arrives already normalized."""
         from ..ops.wpack_encoder import (
-            s2d4_stem_conv, wpack_maxpool3x3s2_rowfirst,
+            interleave_rows, phases_maxpool3x3s2, s2d4_stem_conv_phases,
         )
         from ..ops.wpack_decoder import wpack, wunpack
 
@@ -281,22 +291,24 @@ class ResnetEncoder(nn.Module):
                              "(num_layers <= 34)")
         kernel = _StemKernel((7, 7, 3 * self.num_input_images, 64),
                              name="conv1")()
-        f0p = s2d4_stem_conv(x, kernel.astype(self.dtype))
-        f0p = PackedBatchNorm(64, 2, dtype=self.dtype, name="bn1")(
-            f0p, use_running_average=not train)
-        f0p = nn.relu(f0p)
+        # Phase-separated stem: bn + relu run on the two row-phase
+        # conv outputs (fusing into the convs — no interleaved
+        # intermediate), the 3x3/s2 pool consumes the phases directly
+        # as a row max-chain + width max-chain (no reduce_window, no
+        # SelectAndScatter), and only the skip feature pays the row
+        # interleave. Values identical to the interleaved path (max
+        # commutes; train-mode moments equal up to reduction order).
+        # Alternatives kept tested in ops/wpack_encoder.py:
+        # wpack_maxpool3x3s2 (width-first packed), _rowfirst, and
+        # _fused (custom VJP — faster isolated, slower in-step).
+        y0, y1 = s2d4_stem_conv_phases(x, kernel.astype(self.dtype))
+        y0, y1 = PackedBatchNorm(64, 2, dtype=self.dtype, name="bn1")(
+            y0, use_running_average=not train, xp2=y1)
+        y0, y1 = nn.relu(y0), nn.relu(y1)
 
-        # Row-first packed pool: the 3-row/s2 reduce_window (and its
-        # SelectAndScatter backward) runs on the packed lane-full
-        # tensor, and the width max-chain then sees only half the
-        # rows. Values identical to nn.max_pool of the unpacked
-        # tensor (max commutes). Alternatives kept tested:
-        # wpack_maxpool3x3s2 (width-first packed — its max-chain
-        # backward was the step's largest elementwise bucket) and
-        # wpack_maxpool3x3s2_fused (one-recompute custom VJP — faster
-        # isolated, slower in-step from fusion breakage).
+        f0p = interleave_rows(y0, y1)
         f0 = wunpack(f0p, 2)
-        x = wpack_maxpool3x3s2_rowfirst(f0p)
+        x = phases_maxpool3x3s2(y0, y1)
         xp = wpack(x, 2)
         blocks, _ = _STAGES[self.num_layers]
         for b in range(blocks[0]):

@@ -90,10 +90,12 @@ def pack_stem_kernel4(kernel: jnp.ndarray):
     return kernels[0], kernels[1]
 
 
-def s2d4_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """== wpack(conv7x7_stride2_pad3(x, kernel), 2): the ResNet stem
-    over 4x4 space-to-depth blocked input, output width-packed at f=2.
-    H, W must be divisible by 4."""
+def s2d4_stem_conv_phases(x: jnp.ndarray, kernel: jnp.ndarray):
+    """The two ROW PHASES of wpack(conv7x7_stride2_pad3(x, kernel), 2)
+    — (y0, y1), each (B, H/4, W/4, 128), holding stem rows 2j and
+    2j+1. Keeping the phases separate lets bn/relu fuse into the convs
+    and the 3x3/s2 max pool consume them directly; only the skip
+    feature pays the row interleave (interleave_rows)."""
     B, H, W, C = x.shape
     if H % 4 or W % 4:
         raise ValueError("s2d4 stem needs H, W divisible by 4")
@@ -109,11 +111,42 @@ def s2d4_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
             xb, rhs, window_strides=(1, 1), padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    y0 = conv(ka0)  # (B, H/4, W/4, 128): output rows 2j
-    y1 = conv(ka1)  # output rows 2j+1
-    B_, Hb, Wb, FC = y0.shape
-    y = jnp.stack([y0, y1], axis=2).reshape(B_, 2 * Hb, Wb, FC)
-    return y  # (B, H/2, W/4, 2*64) = wpack(stem, 2)
+    return conv(ka0), conv(ka1)
+
+
+def interleave_rows(y0: jnp.ndarray, y1: jnp.ndarray) -> jnp.ndarray:
+    """(B, Hb, W, C) row phases -> (B, 2*Hb, W, C) interleaved."""
+    B, Hb, Wb, FC = y0.shape
+    return jnp.stack([y0, y1], axis=2).reshape(B, 2 * Hb, Wb, FC)
+
+
+def s2d4_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """== wpack(conv7x7_stride2_pad3(x, kernel), 2): the ResNet stem
+    over 4x4 space-to-depth blocked input, output width-packed at f=2.
+    H, W must be divisible by 4."""
+    return interleave_rows(*s2d4_stem_conv_phases(x, kernel))
+
+
+def phases_maxpool3x3s2(y0: jnp.ndarray, y1: jnp.ndarray,
+                        C: int = 64) -> jnp.ndarray:
+    """3x3/s2 max pool (pad 1) straight from the width-packed stem ROW
+    PHASES — no interleave, no reduce_window. Pool output row o covers
+    stem rows 2o-1, 2o, 2o+1 = y1[o-1], y0[o], y1[o] (a row chain
+    exactly mirroring the width chain); then the width taps are the
+    usual two lane slices + one block shift. Values identical to
+    nn.max_pool of the interleaved unpacked tensor (max commutes).
+    Emits the unpacked (B, Hb, M, C) layout."""
+    FC = y0.shape[-1]
+    assert FC == 2 * C, (FC, C)
+    Hb = y0.shape[1]
+    y1s = jnp.pad(y1, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :Hb]
+    r = jnp.maximum(jnp.maximum(y1s, y0), y1)  # (B, Hb, M, 2C)
+    p0, p1 = r[..., :C], r[..., C:]
+    M = r.shape[2]
+    p1s = jnp.pad(p1, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :, :M]
+    return jnp.maximum(jnp.maximum(p0, p1), p1s)
 
 
 def wpack_maxpool3x3s2(xp: jnp.ndarray, C: int = 64) -> jnp.ndarray:

@@ -177,3 +177,16 @@ def test_rowfirst_maxpool_matches_width_first():
     np.testing.assert_array_equal(
         np.asarray(wpack_maxpool3x3s2_rowfirst(xp, 64)),
         np.asarray(wpack_maxpool3x3s2(xp)))
+
+
+def test_phases_maxpool_matches_width_first():
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        interleave_rows, phases_maxpool3x3s2, wpack_maxpool3x3s2,
+    )
+
+    k = jax.random.PRNGKey(5)
+    y0 = jax.random.normal(k, (2, 8, 12, 128), jnp.float32)
+    y1 = jax.random.normal(jax.random.fold_in(k, 1), y0.shape)
+    np.testing.assert_array_equal(
+        np.asarray(phases_maxpool3x3s2(y0, y1, 64)),
+        np.asarray(wpack_maxpool3x3s2(interleave_rows(y0, y1))))
