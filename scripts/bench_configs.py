@@ -70,6 +70,7 @@ def bench_distill(adv_type: str):
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
                         attack_crop_w=384, attack_crop_h=256,
+                        attack_view_dtype="bfloat16",
                         wpack_stem=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
@@ -105,6 +106,7 @@ def bench_hardening():
         adv=AdvSynthConfig(norm_type="l_0", steps=10,
                            attack_batch_size=BATCH,
                            attack_crop_w=384, attack_crop_h=256,
+                           attack_view_dtype="bfloat16",
                            ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",
         wpack_stem=True, wpack_decoder=True)
