@@ -84,7 +84,10 @@ def main():
                         # attack_scale=1 would add +26% throughput for
                         # a ~7% weaker attack (FIDELITY N+0.6) — above
                         # the <=3% bar, so OFF by default.
-                        attack_crop_w=384, attack_crop_h=256,
+                        # 320x256: measured at the same 0.97x
+                        # attack-strength ratio as 384x256 on the
+                        # equivalence suite (FIDELITY.md N table)
+                        attack_crop_w=320, attack_crop_h=256,
                         # bf16 view: equivalence-tabled at parity with
                         # the f32 crop objective (FIDELITY.md N+2)
                         attack_view_dtype=args.view_dtype,

@@ -102,6 +102,8 @@ def main():
                                  rows.mean(axis=0).tolist()))
 
     print(json.dumps(results, indent=2))
+    if "NonexNone" not in results:
+        return  # subset run without the full-frame baseline
     full = results["NonexNone"]
     cols = [k for k in results if k != "NonexNone"]
     print("\n| metric | full-frame | " +
