@@ -28,7 +28,7 @@ from ..ops.geometry import (
 )
 from ..ops.losses import reprojection_loss, smooth_loss
 from ..ops.resize import bilinear_resize
-from ..ops.sampling import grid_sample
+from ..ops.sampling import grid_sample, grid_sample_rows
 from .config import SelfSupConfig
 
 
@@ -77,9 +77,21 @@ def generate_images_pred(disps, batch, poses, cfg: SelfSupConfig):
         for fid in cfg.source_frame_ids:
             T = batch["stereo_T"] if fid == "s" else poses[fid]
             grid = reproject_coords(depth, batch["inv_K"], batch["K"], T)
-            preds[(fid, scale)] = grid_sample(
-                batch["color"][fid], grid, padding_mode="border",
-                align_corners=True)
+            if fid == "s":
+                # Rectified stereo: stereo_T is a pure x-translation
+                # (mono_dataset.py:112-117 / adv_synth baseline), so
+                # the projected y equals the pixel y exactly and the
+                # warp is a 1-D horizontal resample — the MXU one-hot
+                # contraction replaces the element-wise gather that
+                # dominated the full hardening step (~30x,
+                # ops/sampling.py:bilinear_sample_rows).
+                preds[(fid, scale)] = grid_sample_rows(
+                    batch["color"][fid], grid[..., 0],
+                    align_corners=True)
+            else:
+                preds[(fid, scale)] = grid_sample(
+                    batch["color"][fid], grid, padding_mode="border",
+                    align_corners=True)
     return preds, depths
 
 

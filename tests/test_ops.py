@@ -351,3 +351,38 @@ def test_max_pool_3x3_s2_parity():
         dgot = jax.grad(lambda x: jnp.sum(max_pool_3x3_s2(x) * g))(x)
         np.testing.assert_allclose(np.asarray(dgot), np.asarray(dref),
                                    atol=1e-6)
+
+
+def test_grid_sample_rows_matches_generic():
+    """bilinear_sample_rows (MXU one-hot contraction) vs the generic
+    4-tap gather sampler on row-aligned grids: values, coordinate
+    gradients, and image gradients (border excursions included)."""
+    from depthmodelhardening_tpu.ops.sampling import (
+        grid_sample, grid_sample_rows,
+    )
+
+    k = jax.random.PRNGKey(0)
+    B, H, W, C = 2, 12, 40, 3
+    img = jax.random.uniform(k, (B, H, W, C), jnp.float32)
+    gx = jax.random.uniform(jax.random.fold_in(k, 1), (B, H, W),
+                            minval=-1.3, maxval=1.3)
+    gy = jnp.broadcast_to(jnp.linspace(-1, 1, H)[None, :, None],
+                          (B, H, W))
+    grid = jnp.stack([gx, gy], axis=-1)
+    a = grid_sample(img, grid, padding_mode="border",
+                    align_corners=True)
+    b = grid_sample_rows(img, gx, align_corners=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-6)
+    ga = jax.grad(lambda g: jnp.sum(jnp.sin(grid_sample(
+        img, jnp.stack([g, gy], -1), "border", True))))(gx)
+    gb = jax.grad(lambda g: jnp.sum(jnp.sin(
+        grid_sample_rows(img, g, True))))(gx)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=1e-4)
+    ia = jax.grad(lambda im: jnp.sum(jnp.sin(grid_sample(
+        im, grid, "border", True))))(img)
+    ib = jax.grad(lambda im: jnp.sum(jnp.sin(
+        grid_sample_rows(im, gx, True))))(img)
+    np.testing.assert_allclose(np.asarray(ib), np.asarray(ia),
+                               atol=2e-5)
