@@ -117,6 +117,10 @@ class PhysObjAttackConfig:
     def __post_init__(self):
         if self.attack_scale not in (0, 1, 2):
             raise ValueError("attack_scale must be 0, 1 or 2")
+        if self.attack_view_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "attack_view_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.attack_view_dtype!r}")
         if self.attack_scale_fine_steps < 0:
             raise ValueError("attack_scale_fine_steps must be >= 0")
         for name, crop, full, tile in (
@@ -182,11 +186,12 @@ class PhysObjAttack:
         # ranges + eval pins, and passed to every separable-warp call
         # so the runtime dense-fallback cond compiles away
         # (ops/pallas_warp.py).
+        extra_z0, extra_alpha = self._band_sweep_extra()
         self._bands_fit: bool = self.eot.check_bands_fit(
             cfg.dist_range, cfg.angle_range, cfg.scene_h, cfg.scene_w,
             min(cfg.tile_h, cfg.scene_h), min(cfg.tile_w, cfg.scene_w),
-            extra_z0=(cfg.eval_pin_z0,),
-            extra_alpha=(cfg.eval_pin_alpha,))
+            extra_z0=(cfg.eval_pin_z0,) + tuple(extra_z0),
+            extra_alpha=(cfg.eval_pin_alpha,) + tuple(extra_alpha))
         # (variables, images) -> ("disp", cfg.attack_scale); assigned by
         # the trainer when cfg.attack_scale > 0 (the plain predict_fn
         # contract is disp0-only)
@@ -427,10 +432,21 @@ class PhysObjAttack:
         return (jax.vmap(crop)(adv_scenes, y0, x0),
                 jax.vmap(crop)(masks, y0, x0), (ch * cw) / (H * W))
 
+    def _band_sweep_extra(self):
+        """(z0s, alphas) beyond cfg.dist_range/angle_range that this
+        attack's FINAL sampling can produce. Subclasses that override
+        `_final_za` with geometry outside the config ranges (e.g. the
+        arbi attack's linspace(5, 30) distances) MUST override this so
+        the static banded-warp proof in __init__ covers the finals
+        path too (ADVICE r3 medium). Called before subclass __init__
+        state exists — return constants only."""
+        return (), ()
+
     def _final_za(self, rng, batch: int):
         """EoT sample for the final composites; subclasses with bespoke
         final sampling (e.g. the arbitrary-pattern attack's linspace
-        distances, phy_obj_atk_arbi.py:91-92) override this."""
+        distances, phy_obj_atk_arbi.py:91-92) override this (and
+        `_band_sweep_extra` when the geometry leaves the cfg ranges)."""
         return self._sample_za(rng, batch)
 
     def _final_outputs(self, scenes_full, obj_adv, rng, eval_mode: bool):

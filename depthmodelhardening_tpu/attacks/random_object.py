@@ -95,6 +95,12 @@ class ArbiObjectAttack(PhysObjAttack):
             np.arange(-30, 31, 2, dtype=np.float32), batch, replace=True)
         return z0, jnp.asarray(alphas)
 
+    def _band_sweep_extra(self):
+        # the finals geometry above leaves the cfg ranges (z0 up to
+        # 30 m > EVAL_DIST_RANGE's 29): feed its extremes into the
+        # static banded-warp proof (base.py:_band_sweep_extra)
+        return (5.0, 30.0), tuple(float(a) for a in range(-30, 31, 2))
+
 
 def _gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     """scipy.ndimage _gaussian_kernel1d (normalized, radius =

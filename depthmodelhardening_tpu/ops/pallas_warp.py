@@ -194,7 +194,10 @@ def _band_starts(lo, hi, out_rows: int, band: int):
     """8-aligned window starts covering [lo, hi) per entry, plus a
     scalar fits flag (False => dense fallback)."""
     lo = jnp.floor(lo)
-    start = jnp.clip((lo // 8) * 8, 0, max(out_rows - band, 0))
+    # the clamp bound must stay 8-aligned too (the kernels hint
+    # pl.multiple_of(start, 8)); align it DOWN — a lowered start only
+    # widens coverage and the fits check below uses the final start
+    start = jnp.clip((lo // 8) * 8, 0, max((out_rows - band) // 8 * 8, 0))
     fits = jnp.all(jnp.ceil(hi) - start <= band) & (out_rows >= band)
     return start.astype(jnp.int32), fits
 

@@ -215,11 +215,13 @@ def wpack_maxpool3x3s2_fused(xp: jnp.ndarray, C: int = 64):
     (scripts/profile_step.py). The custom backward routes the
     cotangent by equality masks instead: gw[r] = sum over the <=2
     covering output rows of g*(w==y), then gp = gw*(p==w) per width
-    tap. Tie semantics: an input equal to the window max receives the
-    full cotangent from every window it tops (the standard
-    subgradient; XLA's S&S picks one winner — the difference only
-    matters for bit-equal pairs, e.g. co-zero relu outputs, and is an
-    equally valid subgradient).
+    tap. Tie semantics (ADVICE r3): EVERY input equal to the window
+    max receives the FULL cotangent — bit-equal ties (e.g. co-zero
+    relu outputs) DUPLICATE cotangent mass, unlike XLA's
+    SelectAndScatter (one winner) or a convex-combination subgradient
+    (mass split). Exact on continuous inputs, where ties are
+    measure-zero. Unwired in the model (the step keeps autodiff —
+    docs/PERFORMANCE.md "Measured dead end"); kept tested.
     """
     _, _, _, w = _wpool_width(xp, C)
     return _rowpool(w)

@@ -493,14 +493,22 @@ class EoTCompositor:
 
         from ..ops.pallas_warp import _bwd_bands, _fwd_bands
 
-        zs = np.concatenate([
-            np.linspace(float(np.min(dist_range)),
-                        float(np.max(dist_range)), 61),
+        # Sweep the hull of EVERYTHING the attack can sample — the
+        # exact range values (discrete TRAIN/EVAL grids fall between
+        # linspace points) plus any subclass finals extremes
+        # (extra_z0/extra_alpha, e.g. the arbi attack's linspace(5,30)
+        # whose max exceeds EVAL_DIST_RANGE) — with the 61-point
+        # linspace spanning the combined min/max (ADVICE r3 medium).
+        z_pts = np.concatenate([
+            np.asarray(dist_range, np.float64).ravel(),
             np.asarray(list(extra_z0), np.float64).ravel()])
-        als = np.concatenate([
-            np.linspace(float(np.min(angle_range)),
-                        float(np.max(angle_range)), 61),
+        a_pts = np.concatenate([
+            np.asarray(angle_range, np.float64).ravel(),
             np.asarray(list(extra_alpha), np.float64).ravel()])
+        zs = np.concatenate(
+            [np.linspace(z_pts.min(), z_pts.max(), 61), z_pts])
+        als = np.concatenate(
+            [np.linspace(a_pts.min(), a_pts.max(), 61), a_pts])
         zg, ag = np.meshgrid(zs, als)
         z = jnp.asarray(zg.ravel(), jnp.float32)
         a = jnp.asarray(ag.ravel(), jnp.float32)

@@ -31,6 +31,15 @@ class SelfSupConfig:
     avg_reprojection: bool = False
     disable_automasking: bool = False
     v1_multiscale: bool = False
+    # The stereo photometric warp uses the MXU row-resample fast path
+    # (ops/sampling.py:bilinear_sample_rows), which is exact ONLY when
+    # batch["stereo_T"] is a rectified pure x-translation (identity
+    # rotation, zero y/z translation) — true for the built-in
+    # stereo_T/stereo_T_batch. Set False for custom extrinsics with
+    # rotation or y/z components to take the generic 2-D sampler;
+    # concrete (untraced) stereo_T values are additionally verified at
+    # trace time (selfsup.py:_stereo_is_pure_x, ADVICE r3).
+    rectified_stereo: bool = True
 
     @property
     def use_stereo(self) -> bool:

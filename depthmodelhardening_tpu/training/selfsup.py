@@ -32,6 +32,23 @@ from ..ops.sampling import grid_sample, grid_sample_rows
 from .config import SelfSupConfig
 
 
+def _stereo_is_pure_x(T) -> bool:
+    """Trace-time check that stereo_T is a rectified pure x-translation
+    (identity rotation, zero y/z translation) — the condition under
+    which the MXU row-resample warp below is exact. A traced stereo_T
+    cannot be inspected; then the caller vouches via
+    cfg.rectified_stereo (true for the built-in stereo_T/
+    stereo_T_batch extrinsics). ADVICE r3: a custom rotated extrinsic
+    must not silently take the row path."""
+    if isinstance(T, jax.core.Tracer):
+        return True
+    import numpy as np
+
+    Tn = np.asarray(T, np.float64).reshape(-1, 4, 4)
+    return (np.allclose(Tn[:, :3, :3], np.eye(3), atol=1e-6)
+            and np.allclose(Tn[:, 1:3, 3], 0.0, atol=1e-6))
+
+
 def predict_poses(pose_encoder_apply, pose_decoder_apply, variables,
                   color_aug: Dict[str, jnp.ndarray], cfg: SelfSupConfig,
                   train: bool = False):
@@ -77,7 +94,8 @@ def generate_images_pred(disps, batch, poses, cfg: SelfSupConfig):
         for fid in cfg.source_frame_ids:
             T = batch["stereo_T"] if fid == "s" else poses[fid]
             grid = reproject_coords(depth, batch["inv_K"], batch["K"], T)
-            if fid == "s":
+            if fid == "s" and cfg.rectified_stereo \
+                    and _stereo_is_pure_x(T):
                 # Rectified stereo: stereo_T is a pure x-translation
                 # (mono_dataset.py:112-117 / adv_synth baseline), so
                 # the projected y equals the pixel y exactly and the

@@ -71,7 +71,7 @@ def prof_train_step(tmpdir):
                         steps=10, batch_size=B, scene_h=H, scene_w=W,
                         ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
-                        attack_crop_w=384, attack_crop_h=256,
+                        attack_crop_w=320, attack_crop_h=256,
                         # keep identical to bench.py so the persistent
                         # compilation cache is shared
                         attack_view_dtype="bfloat16",

@@ -149,8 +149,7 @@ def test_wpack_encoder_model_parity():
 
 def test_fused_maxpool_matches_autodiff_path():
     """wpack_maxpool3x3s2_fused: fwd bit-equal to wpack_maxpool3x3s2,
-    bwd equal on continuous inputs (no ties) and mass-preserving on
-    relu-style tied inputs."""
+    bwd equal on continuous inputs (ties are measure-zero there)."""
     from depthmodelhardening_tpu.ops.wpack_encoder import (
         wpack_maxpool3x3s2, wpack_maxpool3x3s2_fused,
     )
@@ -165,6 +164,35 @@ def test_fused_maxpool_matches_autodiff_path():
     g1 = jax.grad(
         lambda x: jnp.sum(wpack_maxpool3x3s2_fused(x, 64) * g))(xp)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+
+def test_fused_maxpool_tie_duplication_semantics():
+    """On bit-equal ties the fused backward routes the FULL cotangent
+    to every tied input (duplicating mass — the documented semantics,
+    NOT a convex-combination subgradient). Pin it: an all-equal input
+    makes every tap a winner, so each input entry receives the sum of
+    the cotangents of all output windows covering it."""
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        wpack_maxpool3x3s2_fused,
+    )
+
+    C = 64
+    xp = jnp.zeros((1, 4, 4, 2 * C), jnp.float32)  # all tied
+    g = jnp.ones((1, 2, 4, C), jnp.float32)
+    gx = jax.grad(
+        lambda x: jnp.sum(wpack_maxpool3x3s2_fused(x, C) * g))(xp)
+    gx = np.asarray(gx)
+    # row coverage of input row r (pad 1, stride 2, H=4 -> Ho=2):
+    # r=0: o=0 only; r=1: o=0,1; r=2: o=1; r=3: o=1 — counts 1,2,1,1.
+    row_cover = np.array([1.0, 2.0, 1.0, 1.0])
+    # width taps: p0[m] tops window m (1 window); p1[m] tops windows m
+    # and m+1 (the shifted tap), except the last column (no m+1).
+    p0_cover = np.ones(4)
+    p1_cover = np.array([2.0, 2.0, 2.0, 1.0])
+    exp = np.empty((1, 4, 4, 2 * C), np.float32)
+    exp[0, :, :, :C] = (row_cover[:, None] * p0_cover[None, :])[..., None]
+    exp[0, :, :, C:] = (row_cover[:, None] * p1_cover[None, :])[..., None]
+    np.testing.assert_array_equal(gx, exp)
 
 
 def test_rowfirst_maxpool_matches_width_first():
