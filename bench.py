@@ -64,7 +64,7 @@ def main():
     # The teacher only supplies disp0 pseudo-GT: run it scales=(0,)
     # with the same exact perf rewrites as the student (same params).
     teacher_model, teacher_vars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,),
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True,
         wpack_stem=not args.no_wpack_stem,
         s2d_stem=args.no_wpack_stem,
         wpack_decoder=not args.no_wpack_decoder)

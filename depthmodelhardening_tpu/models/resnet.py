@@ -29,6 +29,47 @@ def _bn(name: str, dtype=jnp.float32):
     return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
 
 
+class _BNFold(nn.Module):
+    """Declares nn.BatchNorm's exact variable tree (params scale/bias,
+    batch_stats mean/var) but returns the eval-mode affine (mul, add)
+    in f32 instead of applying it — so callers can FOLD the BatchNorm
+    into the preceding conv's kernel/bias:
+
+        bn_eval(conv(x, W)) == conv(x, W * mul) + add
+
+    (output-channel scaling commutes with the conv sum and is
+    unaffected by padding). Running stats are constants w.r.t. the
+    attack inner loop, so the fold removes one full elementwise
+    HBM pass per BN in both the forward and the input-gradient
+    backward — the dominant non-conv cost of the PGD loop
+    (scripts/profile_step.py, round 4)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        mul = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+        add = bias - ra_mean.value * mul
+        return mul, add
+
+
+def _folded_conv(x, kernel, mul, add, strides, padding, dtype):
+    """conv(x, kernel*mul) + add — the BN-folded conv (NHWC/HWIO)."""
+    k = (kernel * mul).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(strides, strides), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + add.astype(dtype)
+
+
 class BasicBlock(nn.Module):
     """torchvision BasicBlock: 3x3 -> 3x3 with identity/projection skip."""
 
@@ -36,9 +77,12 @@ class BasicBlock(nn.Module):
     strides: int = 1
     project: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and not train:
+            return self._call_folded(x)
         identity = x
         y = nn.Conv(self.features, (3, 3), strides=self.strides,
                     padding=((1, 1), (1, 1)), use_bias=False,
@@ -57,6 +101,24 @@ class BasicBlock(nn.Module):
                 identity, use_running_average=not train)
         return nn.relu(y + identity)
 
+    def _call_folded(self, x):
+        C = self.features
+        k1 = _StemKernel((3, 3, x.shape[-1], C), name="conv1")()
+        m1, a1 = _BNFold(name="bn1")(C)
+        y = nn.relu(_folded_conv(x, k1, m1, a1, self.strides,
+                                 ((1, 1), (1, 1)), self.dtype))
+        k2 = _StemKernel((3, 3, C, C), name="conv2")()
+        m2, a2 = _BNFold(name="bn2")(C)
+        y = _folded_conv(y, k2, m2, a2, 1, ((1, 1), (1, 1)), self.dtype)
+        identity = x
+        if self.project:
+            kd = _StemKernel((1, 1, x.shape[-1], C),
+                             name="downsample_0")()
+            md, ad = _BNFold(name="downsample_1")(C)
+            identity = _folded_conv(x, kd, md, ad, self.strides,
+                                    ((0, 0), (0, 0)), self.dtype)
+        return nn.relu(y + identity)
+
 
 class Bottleneck(nn.Module):
     """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1 (x4 expansion)."""
@@ -66,9 +128,12 @@ class Bottleneck(nn.Module):
     project: bool = False
     expansion: int = 4
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and not train:
+            return self._call_folded(x)
         identity = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
@@ -88,6 +153,28 @@ class Bottleneck(nn.Module):
                                dtype=self.dtype, name="downsample_0")(x)
             identity = _bn("downsample_1", self.dtype)(
                 identity, use_running_average=not train)
+        return nn.relu(y + identity)
+
+    def _call_folded(self, x):
+        C, E = self.features, self.features * self.expansion
+        k1 = _StemKernel((1, 1, x.shape[-1], C), name="conv1")()
+        m1, a1 = _BNFold(name="bn1")(C)
+        y = nn.relu(_folded_conv(x, k1, m1, a1, 1, ((0, 0), (0, 0)),
+                                 self.dtype))
+        k2 = _StemKernel((3, 3, C, C), name="conv2")()
+        m2, a2 = _BNFold(name="bn2")(C)
+        y = nn.relu(_folded_conv(y, k2, m2, a2, self.strides,
+                                 ((1, 1), (1, 1)), self.dtype))
+        k3 = _StemKernel((1, 1, C, E), name="conv3")()
+        m3, a3 = _BNFold(name="bn3")(E)
+        y = _folded_conv(y, k3, m3, a3, 1, ((0, 0), (0, 0)), self.dtype)
+        identity = x
+        if self.project:
+            kd = _StemKernel((1, 1, x.shape[-1], E),
+                             name="downsample_0")()
+            md, ad = _BNFold(name="downsample_1")(E)
+            identity = _folded_conv(x, kd, md, ad, self.strides,
+                                    ((0, 0), (0, 0)), self.dtype)
         return nn.relu(y + identity)
 
 
@@ -115,7 +202,8 @@ def stage_in_features(num_layers: int, stage: int) -> int:
     return ch[stage]
 
 
-def run_stage(x, stage: int, num_layers: int, dtype, train: bool):
+def run_stage(x, stage: int, num_layers: int, dtype, train: bool,
+              fold_bn: bool = False):
     """Apply ResNet stage `stage` (0 -> layer1, ..., 3 -> layer4) inside
     the caller's @nn.compact scope; block names follow the torch
     state-dict paths (layer{stage+1}_{b})."""
@@ -128,7 +216,7 @@ def run_stage(x, stage: int, num_layers: int, dtype, train: bool):
             if block_cls is Bottleneck else width
         project = (b == 0) and (stride != 1 or in_features != out_width)
         x = block_cls(width, strides=stride if b == 0 else 1,
-                      project=project, dtype=dtype,
+                      project=project, dtype=dtype, fold_bn=fold_bn,
                       name=f"layer{stage + 1}_{b}")(x, train=train)
         in_features = out_width
     return x
@@ -162,12 +250,17 @@ class PackedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xp, use_running_average: bool, xp2=None):
+    def __call__(self, xp, use_running_average: bool, xp2=None,
+                 fold=False):
         """Normalize xp (and optionally a second equal-count phase
         tensor xp2, e.g. the stem's row phases — moments are then the
         average over both, matching the interleaved tensor's up to
         float reduction order). Returns the normalized tensor, or the
-        (xp, xp2) pair when xp2 is given."""
+        (xp, xp2) pair when xp2 is given.
+
+        fold=True (requires use_running_average): returns the UNTILED
+        f32 (mul, add) instead so the caller can fold the affine into
+        the preceding conv kernel (see _BNFold); xp/xp2 are ignored."""
         C, f = self.channels, self.f
         scale = self.param("scale", nn.initializers.ones, (C,),
                            jnp.float32)
@@ -197,6 +290,9 @@ class PackedBatchNorm(nn.Module):
                                 + (1 - self.momentum) * var)
         mul = (scale * jax.lax.rsqrt(var + self.epsilon))
         add = bias - mean * mul
+        if fold:
+            assert use_running_average, "fold needs running stats"
+            return mul, add
         mul = jnp.tile(mul, f).astype(self.dtype)
         add = jnp.tile(add, f).astype(self.dtype)
         outs = [p.astype(self.dtype) * mul + add for p in parts]
@@ -210,6 +306,7 @@ class PackedBasicBlock(nn.Module):
     features: int
     f: int = 2
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, xp, train: bool = False):
@@ -218,6 +315,19 @@ class PackedBasicBlock(nn.Module):
         C, f = self.features, self.f
         k1 = _StemKernel((3, 3, C, C), name="conv1")()
         k2 = _StemKernel((3, 3, C, C), name="conv2")()
+        if self.fold_bn and not train:
+            # fold the eval-mode BN affines into the (unpacked) conv
+            # kernels — packing is linear in the kernel and packed lane
+            # i*C+c carries channel c, so scaling the unpacked output
+            # axis == scaling every packed phase (see _BNFold)
+            m1, a1 = PackedBatchNorm(C, f, name="bn1")(
+                None, use_running_average=True, fold=True)
+            m2, a2 = PackedBatchNorm(C, f, name="bn2")(
+                None, use_running_average=True, fold=True)
+            y = wpack_conv3x3_zero(xp, (k1 * m1).astype(self.dtype), f)
+            y = nn.relu(y + jnp.tile(a1, f).astype(self.dtype))
+            y = wpack_conv3x3_zero(y, (k2 * m2).astype(self.dtype), f)
+            return nn.relu(y + jnp.tile(a2, f).astype(self.dtype) + xp)
         y = wpack_conv3x3_zero(xp, k1.astype(self.dtype), f)
         y = PackedBatchNorm(C, f, dtype=self.dtype, name="bn1")(
             y, use_running_average=not train)
@@ -241,26 +351,45 @@ class ResnetEncoder(nn.Module):
     dtype: Any = jnp.float32
     s2d_stem: bool = False
     wpack_stem: bool = False
+    # Fold eval-mode BatchNorms into the conv kernels (exact algebra,
+    # see _BNFold). Only active when train=False; train-mode passes
+    # keep the reference batch-stat path. Same parameter tree.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ((x - 0.45) / 0.225).astype(self.dtype)
+        fold = self.fold_bn and not train
         if self.wpack_stem:
             return self._call_wpacked(x, train)
-        if self.s2d_stem:
-            # exact space-to-depth rewrite of the 7x7/s2 stem: Cin=3
-            # occupies 3/128 MXU lanes; blocked Cin=12 at quarter
-            # positions is ~4x denser. Same "conv1/kernel" param.
-            from ..ops.fused_upconv import s2d_stem_conv
-
+        if fold:
             kernel = _StemKernel((7, 7, 3 * self.num_input_images, 64),
                                  name="conv1")()
-            x = s2d_stem_conv(x, kernel.astype(self.dtype))
+            m, a = _BNFold(name="bn1")(64)
+            if self.s2d_stem:
+                from ..ops.fused_upconv import s2d_stem_conv
+
+                x = s2d_stem_conv(x, (kernel * m).astype(self.dtype))
+                x = x + a.astype(self.dtype)
+            else:
+                x = _folded_conv(x, kernel, m, a, 2, ((3, 3), (3, 3)),
+                                 self.dtype)
         else:
-            x = nn.Conv(64, (7, 7), strides=2,
-                        padding=((3, 3), (3, 3)), use_bias=False,
-                        dtype=self.dtype, name="conv1")(x)
-        x = _bn("bn1", self.dtype)(x, use_running_average=not train)
+            if self.s2d_stem:
+                # exact space-to-depth rewrite of the 7x7/s2 stem:
+                # Cin=3 occupies 3/128 MXU lanes; blocked Cin=12 at
+                # quarter positions is ~4x denser. Same "conv1/kernel".
+                from ..ops.fused_upconv import s2d_stem_conv
+
+                kernel = _StemKernel(
+                    (7, 7, 3 * self.num_input_images, 64),
+                    name="conv1")()
+                x = s2d_stem_conv(x, kernel.astype(self.dtype))
+            else:
+                x = nn.Conv(64, (7, 7), strides=2,
+                            padding=((3, 3), (3, 3)), use_bias=False,
+                            dtype=self.dtype, name="conv1")(x)
+            x = _bn("bn1", self.dtype)(x, use_running_average=not train)
         f0 = nn.relu(x)
 
         x = nn.max_pool(f0, (3, 3), strides=(2, 2),
@@ -268,7 +397,8 @@ class ResnetEncoder(nn.Module):
 
         features = [f0]
         for stage in range(4):
-            x = run_stage(x, stage, self.num_layers, self.dtype, train)
+            x = run_stage(x, stage, self.num_layers, self.dtype, train,
+                          fold_bn=self.fold_bn)
             features.append(x)
         return features
 
@@ -291,6 +421,7 @@ class ResnetEncoder(nn.Module):
                              "(num_layers <= 34)")
         kernel = _StemKernel((7, 7, 3 * self.num_input_images, 64),
                              name="conv1")()
+        fold = self.fold_bn and not train
         # Phase-separated stem: bn + relu run on the two row-phase
         # conv outputs (fusing into the convs — no interleaved
         # intermediate), the 3x3/s2 pool consumes the phases directly
@@ -301,10 +432,19 @@ class ResnetEncoder(nn.Module):
         # Alternatives kept tested in ops/wpack_encoder.py:
         # wpack_maxpool3x3s2 (width-first packed), _rowfirst, and
         # _fused (custom VJP — faster isolated, slower in-step).
-        y0, y1 = s2d4_stem_conv_phases(x, kernel.astype(self.dtype))
-        y0, y1 = PackedBatchNorm(64, 2, dtype=self.dtype, name="bn1")(
-            y0, use_running_average=not train, xp2=y1)
-        y0, y1 = nn.relu(y0), nn.relu(y1)
+        if fold:
+            m, a = PackedBatchNorm(64, 2, name="bn1")(
+                None, use_running_average=True, fold=True)
+            y0, y1 = s2d4_stem_conv_phases(
+                x, (kernel * m).astype(self.dtype))
+            at = jnp.tile(a, 2).astype(self.dtype)
+            y0, y1 = nn.relu(y0 + at), nn.relu(y1 + at)
+        else:
+            y0, y1 = s2d4_stem_conv_phases(x, kernel.astype(self.dtype))
+            y0, y1 = PackedBatchNorm(64, 2, dtype=self.dtype,
+                                     name="bn1")(
+                y0, use_running_average=not train, xp2=y1)
+            y0, y1 = nn.relu(y0), nn.relu(y1)
 
         f0p = interleave_rows(y0, y1)
         f0 = wunpack(f0p, 2)
@@ -313,11 +453,13 @@ class ResnetEncoder(nn.Module):
         blocks, _ = _STAGES[self.num_layers]
         for b in range(blocks[0]):
             xp = PackedBasicBlock(64, 2, dtype=self.dtype,
+                                  fold_bn=self.fold_bn,
                                   name=f"layer1_{b}")(xp, train=train)
 
         features = [f0, wunpack(xp, 2)]
         x = features[1]
         for stage in range(1, 4):
-            x = run_stage(x, stage, self.num_layers, self.dtype, train)
+            x = run_stage(x, stage, self.num_layers, self.dtype, train,
+                          fold_bn=self.fold_bn)
             features.append(x)
         return features

@@ -40,12 +40,16 @@ class MonodepthModel(nn.Module):
     wpack_stem: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
+    # fold eval-mode BatchNorm affines into the conv kernels (exact;
+    # only active when train=False — resnet._BNFold)
+    fold_bn: bool = False
 
     def setup(self):
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
                                      dtype=self.dtype,
                                      s2d_stem=self.s2d_stem,
                                      wpack_stem=self.wpack_stem,
+                                     fold_bn=self.fold_bn,
                                      name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
                                     dtype=self.dtype,

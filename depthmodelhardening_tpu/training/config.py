@@ -137,6 +137,10 @@ class HardeningConfig:
     fuse_upconv: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
+    # fold eval-mode BatchNorms into conv kernels on the eval-only
+    # model clones (attack predictor / teacher) — exact algebra,
+    # models/resnet.py:_BNFold; train-mode passes are unaffected
+    fold_bn: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +171,10 @@ class DistillConfig:
     fuse_upconv: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
+    # fold eval-mode BatchNorms into conv kernels on the eval-only
+    # model clones (attack predictor / teacher) — exact algebra,
+    # models/resnet.py:_BNFold; train-mode passes are unaffected
+    fold_bn: bool = True
     scene_h: int = 320
     scene_w: int = 1024
     ori_h: int = 375

@@ -102,8 +102,12 @@ class DistillTrainer:
         # in the reference too (torch leaves .grad None; our Adam
         # update of a zero grad is 0), and flax ignores the extra
         # params in the full tree. `self.model` keeps the full head
-        # set for init/checkpoints.
-        self.model_d0 = MonodepthModel(scales=(0,), **kw)
+        # set for init/checkpoints. The attack/eval clone additionally
+        # folds the eval-mode BNs into its conv kernels (exact,
+        # resnet._BNFold): one elementwise HBM pass less per BN per
+        # PGD fwd+bwd.
+        self.model_d0 = MonodepthModel(scales=(0,),
+                                       fold_bn=cfg.fold_bn, **kw)
 
         def student_predict(variables, images):
             return self.model_d0.apply(variables, images, train=False)
@@ -113,7 +117,8 @@ class DistillTrainer:
                                    jnp.asarray(obj_mask))
         if cfg.attack_scale and cfg.adv_type != "image":
             s = cfg.attack_scale
-            model_ds = MonodepthModel(scales=(s,), **kw)
+            model_ds = MonodepthModel(scales=(s,),
+                                      fold_bn=cfg.fold_bn, **kw)
 
             def student_predict_scale(variables, images):
                 _, outs = model_ds.apply(

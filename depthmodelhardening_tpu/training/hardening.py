@@ -139,7 +139,12 @@ class HardeningTrainer:
         # a scales=(0,) clone that skips the scale-1..3 disparity
         # heads (+ their grads in the PGD loop). Exact — same
         # parameter tree, unused head params are ignored by apply.
-        self.model_d0 = self.model.clone(scales=(0,))
+        # fold_bn folds the eval-mode BNs into the conv kernels on the
+        # attack/eval clones (exact, resnet._BNFold); the manydepth
+        # matching encoder doesn't expose the flag.
+        self._d0_kw = ({"fold_bn": cfg.fold_bn}
+                       if cfg.model_family != "manydepth" else {})
+        self.model_d0 = self.model.clone(scales=(0,), **self._d0_kw)
 
         def student_predict(variables, images):
             return self.model_d0.apply(variables, images, train=False)
@@ -170,7 +175,7 @@ class HardeningTrainer:
             raise ValueError(f"unknown norm_type {cfg.adv.norm_type}")
         if cfg.adv.attack_scale:
             sc = cfg.adv.attack_scale
-            model_ds = self.model.clone(scales=(sc,))
+            model_ds = self.model.clone(scales=(sc,), **self._d0_kw)
 
             def student_predict_scale(variables, images):
                 _, outs = model_ds.apply(

@@ -7,10 +7,13 @@
      synth + supervised_adv + contrastive + photometric + Adam,
      ICLR'23 recipe) at 1024x320 batch 32, with its decomposition.
 
+Plus `--only eval`: config 5 — one evaluate_attacks batch per eval
+preset class at reference shapes (VERDICT r3 #5).
+
 Prints one JSON line per config; paste the table into
 docs/PERFORMANCE.md. All at 1024x320 model frames, batch 32, bf16,
-with the measured-default rewrites (wpack decoder, s2d stem, 384x256
-attack crop).
+with the measured-default rewrites (wpack stem/decoder, 320x256
+attack crop — same as bench.py so the compile cache is shared).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_configs.py
 """
@@ -61,7 +64,7 @@ def timeit(f, *args, n=5):
 def bench_distill(adv_type: str):
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -69,7 +72,7 @@ def bench_distill(adv_type: str):
                         steps=10, batch_size=BATCH,
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
-                        attack_crop_w=384, attack_crop_h=256,
+                        attack_crop_w=320, attack_crop_h=256,
                         attack_view_dtype="bfloat16",
                         wpack_stem=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
@@ -97,7 +100,7 @@ def bench_distill(adv_type: str):
 def bench_hardening():
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -105,7 +108,7 @@ def bench_hardening():
         selfsup=SelfSupConfig(height=H, width=W, frame_ids=("0", "s")),
         adv=AdvSynthConfig(norm_type="l_0", steps=10,
                            attack_batch_size=BATCH,
-                           attack_crop_w=384, attack_crop_h=256,
+                           attack_crop_w=320, attack_crop_h=256,
                            attack_view_dtype="bfloat16",
                            ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",
@@ -146,22 +149,90 @@ def bench_hardening():
             "rest_ms": round(ms - t_atk, 1)}
 
 
+def bench_eval(only=None):
+    """Config 5 (VERDICT r3 #5): time ONE evaluate_attacks batch per
+    eval preset class at reference shapes (batch 12, 1024x320 model /
+    1242x375 scenes, eval_mode pins sample 0) — the attack call plus
+    both predictor forwards and the masked 8-tuple metrics, i.e. one
+    iteration of evaluate_depth.py:154-197. Presets mirror the
+    reference __main__ zoo (evaluate_depth.py:403-517)."""
+    from depthmodelhardening_tpu.evaluation.attack_eval import (
+        AttackEvalConfig, _batch_metrics, build_attack,
+    )
+    from depthmodelhardening_tpu.models.wrappers import DepthPredictor
+
+    rng = jax.random.PRNGKey(0)
+    model, mvars = init_monodepth2(
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
+        wpack_decoder=True)
+    predictor = predictor_from(model, mvars)
+    obj, mask = make_car_object(300, 200, seed=0)
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=3))
+
+    presets = {
+        "l_inf": AttackEvalConfig(norm_type="l_inf", step=10),
+        "l_0": AttackEvalConfig(norm_type="l_0", step=10),
+        "l_2": AttackEvalConfig(norm_type="l_2", epsilon=5.0, step=10),
+        "APGD": AttackEvalConfig(norm_type="APGD", step=10),
+        "Square": AttackEvalConfig(norm_type="Square", n_queries=5000),
+        "light": AttackEvalConfig(norm_type="light", n_inits=200,
+                                  n_neighbors=20),
+        "arbi": AttackEvalConfig(norm_type="arbi"),
+        "guassian": AttackEvalConfig(norm_type="guassian", step=10),
+    }
+    out = []
+    for name, cfg in presets.items():
+        if only and name != only:
+            continue
+        attack = build_attack(cfg, predictor.apply_fn, obj, mask)
+
+        def run(key, _atk=attack, _cfg=cfg):
+            adv, ben, masks, _ = _atk(predictor.variables, scenes,
+                                      _cfg.batch_size, key,
+                                      eval_mode=True)
+            return jnp.stack(_batch_metrics(predictor, adv, ben, masks))
+
+        t_c0 = time.perf_counter()
+        _sync(run(jax.random.PRNGKey(17)))  # compile + first run
+        compile_s = time.perf_counter() - t_c0
+        n = 3
+        t0 = time.perf_counter()
+        for i in range(n):
+            r = run(jax.random.PRNGKey(18 + i))
+        _sync(r)
+        ms = (time.perf_counter() - t0) / n * 1000
+        rec = {"metric": f"eval_batch_{name}_1024x320_b12",
+               "batch_ms": round(ms, 1),
+               "imgs_per_sec": round(cfg.batch_size / ms * 1000, 2),
+               "first_call_s": round(compile_s, 1)}
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["linf", "l0", "hardening"],
-                    default=None)
+    ap.add_argument("--only", choices=["linf", "l0", "hardening",
+                                       "eval"], default=None)
+    ap.add_argument("--eval-only", default=None,
+                    help="restrict --only eval to one preset name")
     args = ap.parse_args()
     jobs = {
         "linf": lambda: bench_distill("object"),
         "l0": lambda: bench_distill("object_l0"),
         "hardening": bench_hardening,
+        "eval": lambda: bench_eval(args.eval_only),
     }
     for name, fn in jobs.items():
         if args.only and name != args.only:
             continue
-        print(json.dumps(fn()), flush=True)
+        if name == "eval" and not args.only:
+            continue  # eval presets are opt-in (long compiles)
+        out = fn()
+        if name != "eval":
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

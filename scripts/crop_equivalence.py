@@ -46,8 +46,25 @@ ORI_H, ORI_W = 375, 1242
 
 
 def main():
+    import sys
+
     model, variables = init_monodepth2(jax.random.PRNGKey(0), H, W,
                                        dtype=jnp.bfloat16)
+    if "--weights" in sys.argv:
+        # Re-measure the table on TRAINED weights (VERDICT r3 #4): a
+        # hardened student saved by scripts/longrun_demo.py --save.
+        # The wpack/s2d training flags keep the same parameter tree,
+        # so the msgpack deserializes straight into the naive model.
+        import flax.serialization
+
+        i = sys.argv.index("--weights")
+        path = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        with open(path, "rb") as f:
+            variables = flax.serialization.from_bytes(
+                variables, f.read())
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        print(f"# weights: {path}")
     predictor = predictor_from(model, variables)
     obj, mask = make_car_object(300, 200, seed=0)
 

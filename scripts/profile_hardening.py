@@ -38,7 +38,7 @@ def _sync(x):
 def main():
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -46,7 +46,7 @@ def main():
         selfsup=SelfSupConfig(height=H, width=W, frame_ids=("0", "s")),
         adv=AdvSynthConfig(norm_type="l_0", steps=10,
                            attack_batch_size=BATCH,
-                           attack_crop_w=384, attack_crop_h=256,
+                           attack_crop_w=320, attack_crop_h=256,
                            attack_view_dtype="bfloat16",
                            ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",

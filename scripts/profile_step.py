@@ -63,7 +63,7 @@ def prof_train_step(tmpdir):
     from depthmodelhardening_tpu.training.distill import DistillTrainer
 
     teacher_model, teacher_vars = init_monodepth2(
-        jax.random.PRNGKey(0), H, W, dtype=DT, scales=(0,),
+        jax.random.PRNGKey(0), H, W, dtype=DT, scales=(0,), fold_bn=True,
         wpack_stem=True, wpack_decoder=True)
     teacher = predictor_from(teacher_model, teacher_vars)
     obj, mask = make_car_object(300, 200, seed=0)

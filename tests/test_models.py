@@ -157,3 +157,63 @@ def test_full_model_and_export_roundtrip():
     dec_exported = export_depth_decoder(dec_vars)
     assert set(dec_exported) == set(
         k for k in dec_oracle.state_dict().keys())
+
+
+def test_fold_bn_parity_all_stems():
+    """fold_bn=True (eval-mode BN folded into conv kernels,
+    resnet._BNFold) matches the naive model on values AND input
+    gradients for the plain / s2d / wpack stems, with perturbed
+    running stats and affines; train-mode passes are bit-identical
+    (fold inactive)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from depthmodelhardening_tpu.models.wrappers import MonodepthModel
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 96, 3))
+
+    def perturb(v, key):
+        leaves, treedef = jax.tree_util.tree_flatten(v)
+        ks = jax.random.split(key, len(leaves))
+        out = [a + jax.random.uniform(k, a.shape, minval=0.05,
+                                      maxval=0.5)
+               if a.ndim == 1 else a for a, k in zip(leaves, ks)]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    for flags in ({}, {"s2d_stem": True}, {"wpack_stem": True}):
+        m = MonodepthModel(dtype=jnp.float32, **flags)
+        v = perturb(m.init(jax.random.PRNGKey(0), x, train=False),
+                    jax.random.PRNGKey(9))
+        fm = m.clone(fold_bn=True)
+        y0, y1 = m.apply(v, x, train=False), fm.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-5, atol=2e-5)
+
+        g0 = jax.grad(lambda x: jnp.sum(m.apply(v, x, train=False)))(x)
+        g1 = jax.grad(lambda x: jnp.sum(fm.apply(v, x, train=False)))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=2e-4, atol=2e-5)
+
+        t0, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        t1, _ = fm.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_fold_bn_parity_resnet50_bottleneck():
+    """Bottleneck fold path (depth-hints' ResNet-50 encoder)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from depthmodelhardening_tpu.models.resnet import ResnetEncoder
+
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    enc = ResnetEncoder(num_layers=50)
+    v = enc.init(jax.random.PRNGKey(0), x, train=False)
+    fenc = enc.clone(fold_bn=True)
+    f0 = enc.apply(v, x, train=False)
+    f1 = fenc.apply(v, x, train=False)
+    for a, b in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
