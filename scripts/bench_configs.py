@@ -149,6 +149,68 @@ def bench_hardening():
             "rest_ms": round(ms - t_atk, 1)}
 
 
+def bench_family(family: str):
+    """VERDICT r3 #7: one measured hardening-step row for the
+    ManyDepth family (zero-lookup reference mode,
+    manydepth2/trainer.py:345-386) and for DepthHints
+    (proxy-supervised hint loss, depth-hints/trainer.py:541-591) at
+    1024x320 / batch 32."""
+    rng = jax.random.PRNGKey(0)
+    teacher_model, tvars = init_monodepth2(
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True,
+        wpack_stem=True, wpack_decoder=True)
+    teacher = predictor_from(teacher_model, tvars)
+    obj, mask = make_car_object(300, 200, seed=0)
+    ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
+    adv = AdvSynthConfig(norm_type="l_0", steps=10,
+                         attack_batch_size=BATCH,
+                         attack_crop_w=320, attack_crop_h=256,
+                         attack_view_dtype="bfloat16",
+                         ori_h=ORI_H, ori_w=ORI_W)
+    if family == "manydepth":
+        cfg = HardeningConfig(
+            selfsup=ss, adv=adv, batch_size=BATCH,
+            compute_dtype="bfloat16", model_family="manydepth",
+            wpack_decoder=True)
+    elif family == "depth_hints":
+        cfg = HardeningConfig(
+            selfsup=ss, adv=adv, batch_size=BATCH,
+            compute_dtype="bfloat16", use_depth_hints=True,
+            contras_loss_wt=0.1,  # depth-hints/trainer.py:617
+            wpack_stem=True, wpack_decoder=True)
+    else:
+        raise ValueError(family)
+    trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
+                               teacher=teacher, steps_per_epoch=100)
+    state = trainer.make_state()
+    frames = {"0": jnp.asarray(make_scene(BATCH, ORI_H, ORI_W, seed=0)),
+              "s": jnp.asarray(make_scene(BATCH, ORI_H, ORI_W, seed=1))}
+    if family == "depth_hints":
+        k = jax.random.PRNGKey(11)
+        frames["depth_hint"] = jax.random.uniform(
+            k, (BATCH, H, W, 1), minval=1.0, maxval=40.0)
+        frames["depth_hint_mask"] = jnp.ones((BATCH, H, W, 1))
+    side = jnp.ones((BATCH,), bool)
+    flip = jnp.zeros((BATCH,), bool)
+    scenes = jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=2))
+
+    def step(state, i):
+        return trainer.train_step(state, frames, side, flip, scenes,
+                                  jax.random.PRNGKey(100 + i))
+
+    state, m = step(state, 0)  # compile
+    _sync(m["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, 1 + i)
+    _sync(m["loss"])
+    ms = (time.perf_counter() - t0) / iters * 1000
+    return {"metric": f"hardening_{family}_l0_1024x320",
+            "step_ms": round(ms, 1),
+            "imgs_per_sec": round(BATCH / ms * 1000, 2)}
+
+
 def bench_eval(only=None):
     """Config 5 (VERDICT r3 #5): time ONE evaluate_attacks batch per
     eval preset class at reference shapes (batch 12, 1024x320 model /
@@ -215,6 +277,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["linf", "l0", "hardening",
+                                       "manydepth", "depth_hints",
                                        "eval"], default=None)
     ap.add_argument("--eval-only", default=None,
                     help="restrict --only eval to one preset name")
@@ -223,13 +286,16 @@ def main():
         "linf": lambda: bench_distill("object"),
         "l0": lambda: bench_distill("object_l0"),
         "hardening": bench_hardening,
+        "manydepth": lambda: bench_family("manydepth"),
+        "depth_hints": lambda: bench_family("depth_hints"),
         "eval": lambda: bench_eval(args.eval_only),
     }
+    opt_in = {"eval", "manydepth", "depth_hints"}  # long compiles
     for name, fn in jobs.items():
         if args.only and name != args.only:
             continue
-        if name == "eval" and not args.only:
-            continue  # eval presets are opt-in (long compiles)
+        if name in opt_in and not args.only:
+            continue
         out = fn()
         if name != "eval":
             print(json.dumps(out), flush=True)

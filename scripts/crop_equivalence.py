@@ -86,11 +86,16 @@ def main():
     for crop_w, crop_h, scale, fine, view in (
             (None, None, 0, 0, "float32"),
             (512, None, 0, 0, "float32"), (512, 256, 0, 0, "float32"),
+            (320, 256, 0, 0, "float32"),
             (384, 256, 0, 0, "float32"), (384, 256, 1, 0, "float32"),
             (384, 256, 1, 1, "float32"), (384, 256, 2, 0, "float32"),
             (384, 256, 2, 1, "float32"), (384, 256, 2, 2, "float32"),
             (384, 256, 0, 0, "bfloat16"),
-            (320, 256, 0, 0, "bfloat16")):
+            (320, 256, 0, 0, "bfloat16"),
+            (320, 256, 1, 1, "bfloat16"),
+            (320, 256, 1, 2, "bfloat16"),
+            (448, 288, 0, 0, "bfloat16"),
+            (384, 288, 0, 0, "bfloat16")):
         crop = (f"{crop_w}x{crop_h}"
                 + (f"s{scale}f{fine}" if scale else "")
                 + ("bf16" if view == "bfloat16" else ""))

@@ -145,6 +145,81 @@ def main_hardening(steps: int = STEPS, save_path=None):
     }))
 
 
+def main_train_equiv(steps: int = STEPS):
+    """TRAINING equivalence of the bench attack view (VERDICT r3 #4,
+    end-to-end form): harden two students with identical seeds/data —
+    one with the bench PGD objective (320x256 crop + bf16 view), one
+    with the reference full-frame f32 objective — then measure both
+    with the SAME full-frame eval attack. If the crop view trains
+    equally robust students, the bench config is faithful where it
+    matters (the attack-equivalence tables measure a single attack's
+    strength; this measures what the benchmark actually simulates)."""
+    full_model, tvars = init_monodepth2(
+        jax.random.PRNGKey(0), H, W, dtype=jnp.bfloat16,
+        wpack_stem=True, wpack_decoder=True)
+    teacher = predictor_from(full_model.clone(scales=(0,),
+                                              fold_bn=True), tvars)
+    obj, mask = make_car_object(300, 200, seed=0)
+
+    def make_trainer(crop: bool):
+        cfg = DistillConfig(
+            adv_type="object", epsilon=0.1, alpha=0.005, steps=10,
+            batch_size=BATCH, scene_h=H, scene_w=W,
+            ori_h=ORI_H, ori_w=ORI_W, learning_rate=1e-4,
+            compute_dtype="bfloat16",
+            attack_crop_w=320 if crop else None,
+            attack_crop_h=256 if crop else None,
+            attack_view_dtype="bfloat16" if crop else "float32",
+            wpack_stem=True, wpack_decoder=True)
+        return DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
+                              teacher, init_variables=tvars)
+
+    scene_pool = [jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=10 + i))
+                  for i in range(8)]
+    eval_scenes = [jnp.asarray(make_scene(1, ORI_H, ORI_W, seed=99 + i))
+                   for i in range(4)]
+
+    eval_tr = make_trainer(False)  # full-frame reference evaluator
+
+    def full_frame_attack_err(student):
+        errs = []
+        for i, sc in enumerate(eval_scenes):
+            adv, ben, masks, _ = eval_tr.attack(
+                student, sc, BATCH, jax.random.fold_in(
+                    jax.random.PRNGKey(7), i), eval_mode=True)
+            d_adv = eval_tr.model_d0.apply(student, adv, train=False)
+            d_ben = eval_tr.model_d0.apply(student, ben, train=False)
+            errs.append(float(get_mean_depth_diff(d_adv, d_ben, masks,
+                                                  use_abs=True)))
+        return sum(errs) / len(errs)
+
+    out = {"steps": steps}
+    for name, crop in (("bench_crop", True), ("full_frame", False)):
+        tr = eval_tr if not crop else make_trainer(True)
+        state = tr.make_state()
+        if "before" not in out:
+            out["before"] = round(full_frame_attack_err(
+                tr.student_variables(state)), 4)
+        t0 = time.perf_counter()
+        for step in range(steps):
+            state, m = tr.train_step(
+                state, scene_pool[step % len(scene_pool)],
+                jax.random.PRNGKey(1000 + step))
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "imgs_per_sec": round(steps * BATCH / dt, 2),
+            "atk_depth_err_after_m": round(full_frame_attack_err(
+                tr.student_variables(state)), 4),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    b = out["before"]
+    for name in ("bench_crop", "full_frame"):
+        a = out[name]["atk_depth_err_after_m"]
+        out[name]["reduction"] = round(1 - a / max(b, 1e-9), 4)
+    print(json.dumps(out))
+
+
 def save_student(path: str, trainer, state):
     """Serialize the student's {params, batch_stats} (flax msgpack) so
     the equivalence suite can re-measure on HARDENED weights
@@ -173,6 +248,9 @@ def main():
     if adv_type == "hardening":
         steps = int(sys.argv[2]) if len(sys.argv) > 2 else STEPS
         return main_hardening(steps, save_path)
+    if adv_type == "train_equiv":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else STEPS
+        return main_train_equiv(steps)
     teacher_model, tvars = init_monodepth2(jax.random.PRNGKey(0), H, W,
                                            dtype=jnp.bfloat16)
     teacher = predictor_from(teacher_model, tvars)
