@@ -133,7 +133,10 @@ class DistillTrainer:
             dummy = jnp.zeros((1, cfg.scene_h, cfg.scene_w, 3), jnp.float32)
             init_variables = self.model.init(rng, dummy, train=False)
         self._variables = init_variables
-        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        from ..utils.compileopts import compiler_options
+
+        self._train_step = jax.jit(self._step, donate_argnums=(0,),
+                                   compiler_options=compiler_options())
 
     def make_state(self) -> DistillState:
         # deep-copy: train_step donates the state, and aliasing the

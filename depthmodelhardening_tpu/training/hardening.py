@@ -210,10 +210,16 @@ class HardeningTrainer:
             self._variables = self._init_variables(rng)
             if init_variables:
                 self._variables.update(init_variables)
-        self._train_step = jax.jit(self._step, donate_argnums=(0,))
-        self._selfsup_step = jax.jit(self._plain_step, donate_argnums=(0,))
+        from ..utils.compileopts import compiler_options
+
+        copts = compiler_options()
+        self._train_step = jax.jit(self._step, donate_argnums=(0,),
+                                   compiler_options=copts)
+        self._selfsup_step = jax.jit(self._plain_step, donate_argnums=(0,),
+                                     compiler_options=copts)
         self._selfsup_frames_step = jax.jit(self._plain_frames_step,
-                                            donate_argnums=(0,))
+                                            donate_argnums=(0,),
+                                            compiler_options=copts)
 
     # -- init -----------------------------------------------------------------
     def _init_variables(self, rng):
