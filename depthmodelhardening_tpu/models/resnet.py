@@ -412,7 +412,7 @@ class ResnetEncoder(nn.Module):
         (tests/test_wpack_encoder.py). Requires BasicBlock stages
         (num_layers <= 34). `x` arrives already normalized."""
         from ..ops.wpack_encoder import (
-            interleave_rows, phases_maxpool3x3s2, s2d4_stem_conv_phases,
+            s2d4_stem_conv_dilated, wpack_maxpool3x3s2_rowfirst,
         )
         from ..ops.wpack_decoder import wpack, wunpack
 
@@ -422,33 +422,31 @@ class ResnetEncoder(nn.Module):
         kernel = _StemKernel((7, 7, 3 * self.num_input_images, 64),
                              name="conv1")()
         fold = self.fold_bn and not train
-        # Phase-separated stem: bn + relu run on the two row-phase
-        # conv outputs (fusing into the convs — no interleaved
-        # intermediate), the 3x3/s2 pool consumes the phases directly
-        # as a row max-chain + width max-chain (no reduce_window, no
-        # SelectAndScatter), and only the skip feature pays the row
-        # interleave. Values identical to the interleaved path (max
-        # commutes; train-mode moments equal up to reduction order).
-        # Alternatives kept tested in ops/wpack_encoder.py:
-        # wpack_maxpool3x3s2 (width-first packed), _rowfirst, and
-        # _fused (custom VJP — faster isolated, slower in-step).
+        # lhs-dilated stem: ONE conv emits the width-packed stem with
+        # rows already interleaved (s2d4_stem_conv_dilated), so the
+        # skip feature's row interleave — ~3 HBM relayout passes per
+        # model pass in the step trace (scripts/trace_summary.py) —
+        # disappears; bn/relu fuse into the conv output and the
+        # 3x3/s2 pool is the rowfirst packed chain (lane-full
+        # reduce_window + width max-chain). Values identical to the
+        # phase-separated formulation (kept for parity testing:
+        # s2d4_stem_conv_phases + phases_maxpool3x3s2); train-mode
+        # moments equal up to float reduction order.
         if fold:
             m, a = PackedBatchNorm(64, 2, name="bn1")(
                 None, use_running_average=True, fold=True)
-            y0, y1 = s2d4_stem_conv_phases(
+            f0p = nn.relu(s2d4_stem_conv_dilated(
                 x, (kernel * m).astype(self.dtype))
-            at = jnp.tile(a, 2).astype(self.dtype)
-            y0, y1 = nn.relu(y0 + at), nn.relu(y1 + at)
+                + jnp.tile(a, 2).astype(self.dtype))
         else:
-            y0, y1 = s2d4_stem_conv_phases(x, kernel.astype(self.dtype))
-            y0, y1 = PackedBatchNorm(64, 2, dtype=self.dtype,
-                                     name="bn1")(
-                y0, use_running_average=not train, xp2=y1)
-            y0, y1 = nn.relu(y0), nn.relu(y1)
+            f0p = s2d4_stem_conv_dilated(x, kernel.astype(self.dtype))
+            f0p = PackedBatchNorm(64, 2, dtype=self.dtype,
+                                  name="bn1")(
+                f0p, use_running_average=not train)
+            f0p = nn.relu(f0p)
 
-        f0p = interleave_rows(y0, y1)
         f0 = wunpack(f0p, 2)
-        x = phases_maxpool3x3s2(y0, y1)
+        x = wpack_maxpool3x3s2_rowfirst(f0p)
         xp = wpack(x, 2)
         blocks, _ = _STAGES[self.num_layers]
         for b in range(blocks[0]):

@@ -241,6 +241,56 @@ def wpack_up2conv3x3_reflect(x: jnp.ndarray, kernel: jnp.ndarray,
     # nearest row pads: copies of rows 0 and H-1
     xe = jnp.concatenate([xe[:, 0:1], xe, xe[:, H - 1:H]], axis=1)
 
+    # ONE lhs-dilated conv emits the interleaved rows directly — the
+    # two-phase-conv + stack + reshape formulation lowered to ~3 HBM
+    # relayout passes per pass (copy -> reshape -> copy; step trace,
+    # scripts/trace_summary.py), the single most expensive non-conv
+    # bucket of the bench step. With zero-interleaved rows Xz[2j] =
+    # xe[j], out[o] = sum_s K5[s] Xz[o+s] reproduces exactly
+    #   out[2i]   = ka0[0] xe[i]   + ka0[1] xe[i+1]   (row phase 0)
+    #   out[2i+1] = ka1[0] xe[i+1] + ka1[1] xe[i+2]   (row phase 1)
+    # via K5 = [ka0[0], ka1[0], ka0[1], ka1[1], 0] — the transposed-
+    # conv identity XLA already phase-decomposes for stride-2 conv
+    # backwards. Measured at the up0_1 full-frame shape incl. a
+    # consumer conv (scripts/bench_interleave.py): fwd 10.2 -> 7.8 ms,
+    # grad 8.0 -> 7.0 ms. Exact to float associativity
+    # (tests/test_packed_decoder.py pins vs the naive chain).
+    z = jnp.zeros_like(ka0[0:1])
+    K5 = jnp.concatenate([ka0[0:1], ka1[0:1], ka0[1:2], ka1[1:2], z],
+                         axis=0)
+    # out[2H-1]'s s=4 tap reads Xz[2H+3]: one high pad row (its weight
+    # is the zero block).
+    y = jax.lax.conv_general_dilated(
+        xe, K5, window_strides=(1, 1), padding=((0, 1), (0, 0)),
+        lhs_dilation=(2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.tile(bias, F).astype(dt)
+    return y
+
+
+def wpack_up2conv3x3_phases(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: Optional[jnp.ndarray] = None,
+                            f: int = 4, dtype=None) -> jnp.ndarray:
+    """The two-phase-conv + row-stack formulation of
+    wpack_up2conv3x3_reflect — kept for parity testing against the
+    lhs-dilated default (identical semantics, different lowering)."""
+    dt = dtype or x.dtype
+    x = x.astype(dt)
+    B, H, M, FC = x.shape
+    Cin, Cout = kernel.shape[2], kernel.shape[3]
+    assert FC == f * Cin, (FC, f, Cin)
+    F = 2 * f
+    ka0, ka1 = wpack_up2_kernels(kernel, f)
+    ka0 = ka0.astype(dt)
+    ka1 = ka1.astype(dt)
+    z = jnp.zeros((B, H, 1, (f - 1) * Cin), dt)
+    left = jnp.concatenate([z, x[:, :, 0:1, 0:Cin]], axis=-1)
+    right = jnp.concatenate(
+        [x[:, :, M - 1:M, (f - 1) * Cin:f * Cin], z], axis=-1)
+    xe = jnp.concatenate([left, x, right], axis=2)
+    xe = jnp.concatenate([xe[:, 0:1], xe, xe[:, H - 1:H]], axis=1)
+
     def conv(lhs, rhs, row_pad):
         return jax.lax.conv_general_dilated(
             lhs, rhs, window_strides=(1, 1),

@@ -120,6 +120,41 @@ def interleave_rows(y0: jnp.ndarray, y1: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([y0, y1], axis=2).reshape(B, 2 * Hb, Wb, FC)
 
 
+def s2d4_stem_conv_dilated(x: jnp.ndarray, kernel: jnp.ndarray):
+    """== interleave_rows(*s2d4_stem_conv_phases(x, kernel)) as ONE
+    lhs-dilated conv — the stem emits wpack(conv7x7_s2(x), 2) with the
+    rows already interleaved, so the skip feature's row interleave
+    (3 HBM relayout passes in the step trace) disappears.
+
+    With zero-row-dilated input Xz[2j] = xb[j], out[o] =
+    sum_s K7[s] Xz[o+s-3] reproduces exactly
+      out[2i]   = sum_r ka0[r] xb[i-1+r]   (row phase 0)
+      out[2i+1] = sum_r ka1[r] xb[i-1+r]   (row phase 1)
+    via K7 = [ka1[0], ka0[0], ka1[1], ka0[1], ka1[2], ka0[2], 0]
+    (even/odd taps of the dilated input alternate phases); row padding
+    (3, 4) lands out rows 0..2Hb-1 with the same zero-pad semantics as
+    the phase convs' padding (1, 1). The transposed-conv lowering is
+    the one XLA phase-decomposes for stride-2 conv backwards
+    (measured on the up2conv analogue, scripts/bench_interleave.py).
+    """
+    B, H, W, C = x.shape
+    if H % 4 or W % 4:
+        raise ValueError("s2d4 stem needs H, W divisible by 4")
+    xb = x.reshape(B, H // 4, 4, W // 4, 4, C)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4,
+                                                16 * C)
+    ka0, ka1 = pack_stem_kernel4(kernel)
+    ka0 = ka0.astype(x.dtype)
+    ka1 = ka1.astype(x.dtype)
+    z = jnp.zeros_like(ka0[0:1])
+    K7 = jnp.concatenate([ka1[0:1], ka0[0:1], ka1[1:2], ka0[1:2],
+                          ka1[2:3], ka0[2:3], z], axis=0)
+    return jax.lax.conv_general_dilated(
+        xb, K7, window_strides=(1, 1), padding=((3, 4), (1, 1)),
+        lhs_dilation=(2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def s2d4_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """== wpack(conv7x7_stride2_pad3(x, kernel), 2): the ResNet stem
     over 4x4 space-to-depth blocked input, output width-packed at f=2.

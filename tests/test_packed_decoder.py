@@ -263,3 +263,27 @@ def test_wpack_up2conv_exact():
         for a, bb in zip(gr, gg):
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_wpack_up2conv_phases_matches_dilated():
+    """The kept two-phase-conv formulation == the lhs-dilated default
+    (same semantics, different lowering), values and grads."""
+    from depthmodelhardening_tpu.ops.wpack_decoder import (
+        wpack, wpack_up2conv3x3_phases, wpack_up2conv3x3_reflect,
+    )
+
+    rng = np.random.RandomState(11)
+    for (H, W, C, Cout, f) in ((4, 24, 16, 16, 4), (5, 16, 4, 2, 8)):
+        x = jnp.asarray(rng.rand(2, H, W, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, C, Cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+        a = wpack_up2conv3x3_reflect(wpack(x, f), k, b, f=f)
+        p = wpack_up2conv3x3_phases(wpack(x, f), k, b, f=f)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+        ga = jax.grad(lambda x: jnp.sum(jnp.sin(
+            wpack_up2conv3x3_reflect(wpack(x, f), k, b, f=f))))(x)
+        gp = jax.grad(lambda x: jnp.sum(jnp.sin(
+            wpack_up2conv3x3_phases(wpack(x, f), k, b, f=f))))(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ga),
+                                   rtol=2e-4, atol=2e-4)

@@ -218,3 +218,36 @@ def test_phases_maxpool_matches_width_first():
     np.testing.assert_array_equal(
         np.asarray(phases_maxpool3x3s2(y0, y1, 64)),
         np.asarray(wpack_maxpool3x3s2(interleave_rows(y0, y1))))
+
+
+def test_s2d4_stem_conv_dilated_matches_7x7_stride2():
+    """The lhs-dilated single-conv stem (rows emitted interleaved)
+    matches the 7x7/s2 reference conv and the phase formulation,
+    values and input grads."""
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        interleave_rows, s2d4_stem_conv_dilated, s2d4_stem_conv_phases,
+    )
+
+    rng = np.random.RandomState(3)
+    for (H, W, Cin) in ((16, 24, 3), (12, 16, 6), (8, 8, 3)):
+        x = jnp.asarray(rng.randn(2, H, W, Cin), jnp.float32)
+        k = jnp.asarray(rng.randn(7, 7, Cin, 64), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = wunpack(s2d4_stem_conv_dilated(x, k), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        ph = interleave_rows(*s2d4_stem_conv_phases(x, k))
+        np.testing.assert_allclose(
+            np.asarray(wunpack(ph, 2)), np.asarray(got),
+            rtol=2e-5, atol=2e-5)
+
+        gr = jax.grad(lambda x: jnp.sum(jnp.sin(
+            jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))))(x)
+        gg = jax.grad(lambda x: jnp.sum(jnp.sin(
+            wunpack(s2d4_stem_conv_dilated(x, k), 2))))(x)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)
