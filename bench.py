@@ -50,8 +50,14 @@ def main():
                     help="override the measured-default attack_scale")
     ap.add_argument("--packed-decoder", action="store_true")
     ap.add_argument("--no-wpack-decoder", action="store_true")
-    ap.add_argument("--no-wpack-stem", action="store_true",
-                    help="fall back to the 2x2-s2d stem + naive layer1")
+    ap.add_argument("--stem", default="stem8",
+                    choices=["stem8", "wpack", "s2d"],
+                    help="stem formulation: stem8 = 4x8-s2d stem with"
+                         " the input normalization folded into the"
+                         " kernel and an f=4-packed decoder skip"
+                         " (exact; ops/wpack_encoder.py); wpack ="
+                         " round-3 4x4-s2d stem; s2d = 2x2-s2d stem +"
+                         " naive layer1")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--view-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
@@ -65,8 +71,9 @@ def main():
     # with the same exact perf rewrites as the student (same params).
     teacher_model, teacher_vars = init_monodepth2(
         rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True,
-        wpack_stem=not args.no_wpack_stem,
-        s2d_stem=args.no_wpack_stem,
+        wpack_stem8=args.stem == "stem8",
+        wpack_stem=args.stem == "wpack",
+        s2d_stem=args.stem == "s2d",
         wpack_decoder=not args.no_wpack_decoder)
     teacher = predictor_from(teacher_model, teacher_vars)
 
@@ -98,10 +105,14 @@ def main():
                         # 2-4x on the lane-starved convs
                         # (ops/wpack_decoder.py)
                         wpack_decoder=not args.no_wpack_decoder,
-                        # width-packed stem + layer1 (4x4-s2d stem,
-                        # ops/wpack_encoder.py); supersedes s2d_stem
-                        wpack_stem=not args.no_wpack_stem,
-                        s2d_stem=args.no_wpack_stem)
+                        # 4x8-s2d stem (full input lanes, input
+                        # normalization folded into the kernel,
+                        # f=4-packed decoder skip; exact —
+                        # ops/wpack_encoder.py); --stem selects the
+                        # older formulations
+                        wpack_stem8=args.stem == "stem8",
+                        wpack_stem=args.stem == "wpack",
+                        s2d_stem=args.stem == "s2d")
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()

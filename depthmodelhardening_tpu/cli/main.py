@@ -200,6 +200,7 @@ def cmd_train_distill(args):
     teacher_model = make_monodepth2(
         num_layers=args.num_layers, scales=(0,),
         s2d_stem=cfg.s2d_stem, wpack_stem=cfg.wpack_stem,
+        wpack_stem8=cfg.wpack_stem8,
         wpack_decoder=cfg.wpack_decoder,
         packed_decoder=cfg.packed_decoder, fuse_upconv=cfg.fuse_upconv)
     teacher = predictor_from(teacher_model, teacher.variables)

@@ -127,6 +127,12 @@ class DepthDecoder(nn.Module):
     fuse_upconv: bool = False
     packed: bool = False
     wpacked: bool = False
+    # input_features[0] arrives f=4-width-packed (the wpack_stem8
+    # encoder's native stem layout) — consume it directly instead of
+    # wpack()ing the unpacked skip (saves the two largest relayout
+    # passes of the model: the encoder-side wunpack and the
+    # decoder-side repack of the full-res stem feature).
+    packed_skip0: bool = False
 
     @nn.compact
     def __call__(self, input_features) -> Dict[Tuple[str, int], jnp.ndarray]:
@@ -306,12 +312,15 @@ class DepthDecoder(nn.Module):
         ch_up = NUM_CH_DEC[1]
         if self.use_skips:
             skip = input_features[0].astype(self.dtype)
+            skip_ch = (skip.shape[-1] // 4 if self.packed_skip0
+                       else skip.shape[-1])
             k1, b1 = _ConvBlockParams(
-                NUM_CH_DEC[1], ch_up + skip.shape[-1],
+                NUM_CH_DEC[1], ch_up + skip_ch,
                 name="upconv_1_1")()
             k1 = k1.astype(self.dtype)
             y = wpack_up2conv3x3_reflect(xh, k1[:, :, :ch_up], f=2)
-            y = y + wpack_conv3x3_reflect(wpack(skip, 4),
+            skip4 = skip if self.packed_skip0 else wpack(skip, 4)
+            y = y + wpack_conv3x3_reflect(skip4,
                                           k1[:, :, ch_up:], f=4)
             xh1 = nn.elu(y + jnp.tile(b1, 4).astype(self.dtype))
         else:

@@ -351,6 +351,14 @@ class ResnetEncoder(nn.Module):
     dtype: Any = jnp.float32
     s2d_stem: bool = False
     wpack_stem: bool = False
+    # 4x8-s2d stem (s2d8_stem_conv_dilated): 128 full input lanes
+    # (vs the 4x4 blocking's 48/128), input normalization folded into
+    # the kernel's ones channel, output natively f=4-width-packed.
+    wpack_stem8: bool = False
+    # with wpack_stem8: leave features[0] f=4-packed for a decoder
+    # that consumes the packed skip directly (DepthDecoder
+    # packed_skip0) — removes the two largest relayout passes.
+    packed_f0: bool = False
     # Fold eval-mode BatchNorms into the conv kernels (exact algebra,
     # see _BNFold). Only active when train=False; train-mode passes
     # keep the reference batch-stat path. Same parameter tree.
@@ -358,6 +366,9 @@ class ResnetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.wpack_stem8:
+            # raw [0,1] input: normalization is folded into the stem
+            return self._call_wpacked8(x, train)
         x = ((x - 0.45) / 0.225).astype(self.dtype)
         fold = self.fold_bn and not train
         if self.wpack_stem:
@@ -397,6 +408,62 @@ class ResnetEncoder(nn.Module):
 
         features = [f0]
         for stage in range(4):
+            x = run_stage(x, stage, self.num_layers, self.dtype, train,
+                          fold_bn=self.fold_bn)
+            features.append(x)
+        return features
+
+    def _call_wpacked8(self, x, train: bool):
+        """Stem + layer1 with the 4x8-s2d blocking: the stem conv
+        runs 128 FULL input lanes (the 4x4 blocking left 48/128 — a
+        measured 72 TF/s padded-lane wall), the (x-0.45)/0.225 input
+        normalization is an extra ones-channel of the folded kernel
+        (the full-frame normalize pass and its backward disappear),
+        the stem emits f=4-width-packed, the 3x3/s2 pool consumes
+        f=4 and emits f=2 AT THE SAME BLOCK COUNT (= layer1's packed
+        input, zero relayouts stem->layer1), and with packed_f0 the
+        f=4 stem feature feeds the decoder's packed skip directly.
+        Exact to float associativity; identical parameter tree
+        (tests/test_wpack_encoder.py)."""
+        from ..ops.wpack_encoder import (
+            s2d8_stem_conv_dilated, wpack4_maxpool3x3s2,
+        )
+        from ..ops.wpack_decoder import wunpack
+
+        if self.num_layers > 34:
+            raise ValueError("wpack_stem8 requires BasicBlock stages "
+                             "(num_layers <= 34)")
+        if self.num_input_images != 1:
+            raise ValueError("wpack_stem8 folds the 3-channel input "
+                             "normalization; use wpack_stem for "
+                             "stacked-frame encoders")
+        x = x.astype(self.dtype)
+        kernel = _StemKernel((7, 7, 3, 64), name="conv1")()
+        fold = self.fold_bn and not train
+        if fold:
+            m, a = PackedBatchNorm(64, 4, name="bn1")(
+                None, use_running_average=True, fold=True)
+            f0p = nn.relu(s2d8_stem_conv_dilated(
+                x, (kernel * m).astype(self.dtype))
+                + jnp.tile(a, 4).astype(self.dtype))
+        else:
+            f0p = s2d8_stem_conv_dilated(x, kernel.astype(self.dtype))
+            f0p = PackedBatchNorm(64, 4, dtype=self.dtype,
+                                  name="bn1")(
+                f0p, use_running_average=not train)
+            f0p = nn.relu(f0p)
+
+        xp = wpack4_maxpool3x3s2(f0p)  # f=2 packed, same block count
+        blocks, _ = _STAGES[self.num_layers]
+        for b in range(blocks[0]):
+            xp = PackedBasicBlock(64, 2, dtype=self.dtype,
+                                  fold_bn=self.fold_bn,
+                                  name=f"layer1_{b}")(xp, train=train)
+
+        f0 = f0p if self.packed_f0 else wunpack(f0p, 4)
+        features = [f0, wunpack(xp, 2)]
+        x = features[1]
+        for stage in range(1, 4):
             x = run_stage(x, stage, self.num_layers, self.dtype, train,
                           fold_bn=self.fold_bn)
             features.append(x)

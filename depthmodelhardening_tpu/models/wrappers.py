@@ -38,6 +38,10 @@ class MonodepthModel(nn.Module):
     fuse_upconv: bool = False
     s2d_stem: bool = False
     wpack_stem: bool = False
+    # 4x8-s2d stem: full input lanes, normalization folded into the
+    # kernel, f=4-packed stem feature handed to the decoder skip
+    # without relayout when wpack_decoder is also on
+    wpack_stem8: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
     # fold eval-mode BatchNorm affines into the conv kernels (exact;
@@ -45,10 +49,13 @@ class MonodepthModel(nn.Module):
     fold_bn: bool = False
 
     def setup(self):
+        packed_f0 = self.wpack_stem8 and self.wpack_decoder
         self.encoder = ResnetEncoder(num_layers=self.num_layers,
                                      dtype=self.dtype,
                                      s2d_stem=self.s2d_stem,
                                      wpack_stem=self.wpack_stem,
+                                     wpack_stem8=self.wpack_stem8,
+                                     packed_f0=packed_f0,
                                      fold_bn=self.fold_bn,
                                      name="encoder")
         self.decoder = DepthDecoder(scales=tuple(self.scales),
@@ -56,6 +63,7 @@ class MonodepthModel(nn.Module):
                                     fuse_upconv=self.fuse_upconv,
                                     packed=self.packed_decoder,
                                     wpacked=self.wpack_decoder,
+                                    packed_skip0=packed_f0,
                                     name="decoder")
 
     def __call__(self, x, train: bool = False):

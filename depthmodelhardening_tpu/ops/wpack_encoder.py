@@ -155,6 +155,130 @@ def s2d4_stem_conv_dilated(x: jnp.ndarray, kernel: jnp.ndarray):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def pack_stem_kernel8(kernel: jnp.ndarray, normalize: bool = True):
+    """(7,7,3,64) stride-2 stem kernel -> two (3,2,128,256) kernels
+    over a LEFT-SHIFTED 4x8 space-to-depth blocking, one per output
+    row phase a; output lanes are (column phase b, channel)-major so
+    the conv output IS wpack(stem_out, 4).
+
+    Column taps: shifting the blocking grid 3 columns left (the pad-3
+    zeros become part of block 0) makes every output's 7-tap column
+    window [8m+2b, 8m+2b+6] span exactly TWO blocks (m, m+1) — with
+    an unshifted grid the [-3, +3] window straddles three. Output col
+    4m+b taps shifted col 8(m+v)+q at kernel tap s = 8v+q-2b.
+
+    normalize=True additionally absorbs the ResNet input
+    normalization (x-0.45)/0.225 into a fourth ONES input channel:
+    K'[..,c,:] = K/0.225 (c<3), K'[..,3,:] = -(0.45/0.225)*sum_c K.
+    conv_pad0([x, 1], K') == conv_pad0((x-0.45)/0.225, K) EXACTLY,
+    including the zero-padding border effects (both formulations pad
+    every input channel with zeros). Input lanes are then (p, q, c)
+    with c in 0..3 fastest: 4*8*4 = 128 lanes, NO MXU pad — vs the
+    4x4 blocking's 48/128 (2.67x padded-lane waste, the stem's
+    measured 72 TF/s wall in the step trace).
+    """
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    if normalize:
+        if cin != 3:
+            raise ValueError("normalize fold expects a 3-channel stem")
+        kernel = jnp.concatenate(
+            [kernel / 0.225,
+             -(0.45 / 0.225) * jnp.sum(kernel, axis=2, keepdims=True)],
+            axis=2)
+        cin += 1
+    zero = jnp.zeros((cin, cout), kernel.dtype)
+
+    def row_tap(u, p, a):
+        t = 4 * (u - 1) + p - (2 * a - 3)
+        return t if 0 <= t < 7 else None
+
+    def col_tap(v, q, b):
+        s = 8 * v + q - 2 * b
+        return s if 0 <= s < 7 else None
+
+    kernels = []
+    for a in range(2):
+        rows = []
+        for u in range(3):
+            cols = []
+            for v in range(2):
+                ins = []
+                for p in range(4):
+                    for q in range(8):
+                        outs = []
+                        for b in range(4):
+                            tu = row_tap(u, p, a)
+                            tv = col_tap(v, q, b)
+                            outs.append(kernel[tu, tv]
+                                        if tu is not None
+                                        and tv is not None else zero)
+                        ins.append(jnp.concatenate(outs, axis=1))
+                cols.append(jnp.concatenate(ins, axis=0))
+            rows.append(jnp.stack(cols, 0))
+        kernels.append(jnp.stack(rows, 0))  # (3,2,32*cin,4*cout)
+    return kernels[0], kernels[1]
+
+
+def s2d8_stem_conv_dilated(x: jnp.ndarray, kernel: jnp.ndarray,
+                           normalize: bool = True) -> jnp.ndarray:
+    """== wpack(conv7x7_stride2_pad3(normalize(x), kernel), 4) as ONE
+    lhs-dilated conv over the left-shifted 4x8 space-to-depth
+    blocking (pack_stem_kernel8): rows use the same dilated-kernel
+    interleave as s2d4_stem_conv_dilated; columns are a VALID 2-tap
+    window. With normalize=True, `x` is the RAW [0,1] image and the
+    (x-0.45)/0.225 normalization is folded into the kernel via the
+    ones channel — the full-frame normalize pass (and its backward)
+    disappears from the model entirely. H % 4 == 0, W % 8 == 0."""
+    B, H, W, C = x.shape
+    if H % 4 or W % 8:
+        raise ValueError("s2d8 stem needs H % 4 == 0 and W % 8 == 0")
+    if normalize:
+        x = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+        C += 1
+    # shift-3 blocking: 3 zero cols left; right pad to the next block
+    # (covers the max tap W+4 for output col W/2-1, phase b=3)
+    x = jnp.pad(x, ((0, 0), (0, 0), (3, 5), (0, 0)))
+    Wb = W // 8 + 1
+    xb = x.reshape(B, H // 4, 4, Wb, 8, C)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, Wb, 32 * C)
+    ka0, ka1 = pack_stem_kernel8(kernel, normalize=normalize)
+    ka0 = ka0.astype(x.dtype)
+    ka1 = ka1.astype(x.dtype)
+    z = jnp.zeros_like(ka0[0:1])
+    K7 = jnp.concatenate([ka1[0:1], ka0[0:1], ka1[1:2], ka0[1:2],
+                          ka1[2:3], ka0[2:3], z], axis=0)
+    return jax.lax.conv_general_dilated(
+        xb, K7, window_strides=(1, 1), padding=((3, 4), (0, 0)),
+        lhs_dilation=(2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def wpack4_maxpool3x3s2(xp4: jnp.ndarray, C: int = 64) -> jnp.ndarray:
+    """3x3/s2 max pool (pad 1) consuming the f=4-packed stem
+    (B, H, M, 4C) and emitting the f=2-packed pooled tensor
+    (B, H/2, M, 2C) — the SAME block count, so the pool output IS
+    layer1's packed input and no relayout exists anywhere between
+    the stem conv and layer1. Rows use the slice-max chain
+    (wpack_maxpool3x3s2_rowslice); width: pooled col 2m+d taps stem
+    cols 4m+2d-1..4m+2d+1 = lane slices q3(m-1)|q0|q1 (d=0) and
+    q1|q2|q3 (d=1). Values identical to nn.max_pool of the unpacked
+    tensor (max commutes)."""
+    B, H, M, FC = xp4.shape
+    assert FC == 4 * C and H % 2 == 0, (xp4.shape, C)
+    x2 = xp4.reshape(B, H // 2, 2, M, FC)
+    a, b = x2[:, :, 0], x2[:, :, 1]
+    bprev = jnp.pad(b, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                    constant_values=-jnp.inf)[:, :H // 2]
+    r = jnp.maximum(jnp.maximum(bprev, a), b)  # (B, H/2, M, 4C)
+    q0, q1 = r[..., :C], r[..., C:2 * C]
+    q2, q3 = r[..., 2 * C:3 * C], r[..., 3 * C:]
+    q3s = jnp.pad(q3, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :, :M]
+    d0 = jnp.maximum(jnp.maximum(q3s, q0), q1)
+    d1 = jnp.maximum(jnp.maximum(q1, q2), q3)
+    return jnp.concatenate([d0, d1], axis=-1)
+
+
 def s2d4_stem_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """== wpack(conv7x7_stride2_pad3(x, kernel), 2): the ResNet stem
     over 4x4 space-to-depth blocked input, output width-packed at f=2.
@@ -238,6 +362,35 @@ def _rowpool(w: jnp.ndarray):
     return jax.lax.reduce_window(
         w, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
         ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def wpack_maxpool3x3s2_rowslice(xp: jnp.ndarray,
+                                C: int = 64) -> jnp.ndarray:
+    """wpack_maxpool3x3s2 with the ROW reduction as a strided
+    slice-max chain instead of reduce_window: pooled row o =
+    max(x[2o-1], x[2o], x[2o+1]) via an even/odd row split (a free
+    bitcast on the major H axis) + one shifted pad, mirroring the
+    width chain. The whole pool then lowers to elementwise maxima
+    whose autodiff is compare/select loop fusions in the surrounding
+    {C,B}-minor layout — no SelectAndScatter in the backward and no
+    H-minor relayout of the stem activation around reduce_window
+    (two ~3 ms layout copies per model pass in the step trace,
+    scripts/trace_summary.py). Values identical to nn.max_pool of
+    the unpacked tensor (max commutes); backward tie routing differs
+    from SelectAndScatter's single-winner rule only on bit-equal
+    window entries (an equivalent subgradient). Emits the unpacked
+    (B, H/2, M, C) layout."""
+    B, H, M, FC = xp.shape
+    assert FC == 2 * C and H % 2 == 0, (xp.shape, C)
+    x2 = xp.reshape(B, H // 2, 2, M, FC)
+    a, b = x2[:, :, 0], x2[:, :, 1]  # stem rows 2o / 2o+1
+    bprev = jnp.pad(b, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                    constant_values=-jnp.inf)[:, :H // 2]  # row 2o-1
+    r = jnp.maximum(jnp.maximum(bprev, a), b)  # (B, H/2, M, 2C)
+    p0, p1 = r[..., :C], r[..., C:]
+    p1s = jnp.pad(p1, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                  constant_values=-jnp.inf)[:, :, :M]
+    return jnp.maximum(jnp.maximum(p0, p1), p1s)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -134,6 +134,10 @@ class HardeningConfig:
     # wpack_stem supersedes s2d_stem (it covers the stem AND layer1).
     s2d_stem: bool = False
     wpack_stem: bool = False
+    # 4x8-s2d stem: full input lanes + normalization fold +
+    # f=4-packed skip handoff to the wpack decoder (exact;
+    # models/resnet.py _call_wpacked8). Supersedes wpack_stem.
+    wpack_stem8: bool = False
     fuse_upconv: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False
@@ -168,6 +172,10 @@ class DistillConfig:
     tile_w: int = 256
     s2d_stem: bool = False
     wpack_stem: bool = False
+    # 4x8-s2d stem: full input lanes + normalization fold +
+    # f=4-packed skip handoff to the wpack decoder (exact;
+    # models/resnet.py _call_wpacked8). Supersedes wpack_stem.
+    wpack_stem8: bool = False
     fuse_upconv: bool = False
     packed_decoder: bool = False
     wpack_decoder: bool = False

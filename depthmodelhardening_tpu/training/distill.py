@@ -90,6 +90,7 @@ class DistillTrainer:
                   dtype=jnp.dtype(cfg.compute_dtype),
                   s2d_stem=cfg.s2d_stem,
                   wpack_stem=cfg.wpack_stem,
+                  wpack_stem8=cfg.wpack_stem8,
                   fuse_upconv=cfg.fuse_upconv,
                   packed_decoder=cfg.packed_decoder,
                   wpack_decoder=cfg.wpack_decoder)

@@ -98,7 +98,7 @@ class HardeningTrainer:
         if cfg.model_family == "manydepth":
             from ..models.wrappers import ManyDepthTrainModel
 
-            if cfg.s2d_stem or cfg.wpack_stem:
+            if cfg.s2d_stem or cfg.wpack_stem or cfg.wpack_stem8:
                 raise ValueError(
                     "s2d_stem/wpack_stem apply to the plain ResNet "
                     "stem; the manydepth matching encoder has its own")
@@ -114,6 +114,7 @@ class HardeningTrainer:
                                         scales=ss.scales, dtype=dtype,
                                         s2d_stem=cfg.s2d_stem,
                                         wpack_stem=cfg.wpack_stem,
+                                        wpack_stem8=cfg.wpack_stem8,
                                         fuse_upconv=cfg.fuse_upconv,
                                         packed_decoder=cfg.packed_decoder,
                                         wpack_decoder=cfg.wpack_decoder)

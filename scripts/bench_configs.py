@@ -64,7 +64,7 @@ def timeit(f, *args, n=5):
 def bench_distill(adv_type: str):
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem8=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -74,7 +74,7 @@ def bench_distill(adv_type: str):
                         compute_dtype="bfloat16",
                         attack_crop_w=320, attack_crop_h=256,
                         attack_view_dtype="bfloat16",
-                        wpack_stem=True, wpack_decoder=True)
+                        wpack_stem8=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()
@@ -100,7 +100,7 @@ def bench_distill(adv_type: str):
 def bench_hardening():
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem8=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -112,7 +112,7 @@ def bench_hardening():
                            attack_view_dtype="bfloat16",
                            ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",
-        wpack_stem=True, wpack_decoder=True)
+        wpack_stem8=True, wpack_decoder=True)
     trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
                                teacher=teacher, steps_per_epoch=100)
     state = trainer.make_state()
@@ -158,7 +158,7 @@ def bench_family(family: str):
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
         rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True,
-        wpack_stem=True, wpack_decoder=True)
+        wpack_stem8=True, wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
     ss = SelfSupConfig(height=H, width=W, frame_ids=("0", "s"))
@@ -177,7 +177,7 @@ def bench_family(family: str):
             selfsup=ss, adv=adv, batch_size=BATCH,
             compute_dtype="bfloat16", use_depth_hints=True,
             contras_loss_wt=0.1,  # depth-hints/trainer.py:617
-            wpack_stem=True, wpack_decoder=True)
+            wpack_stem8=True, wpack_decoder=True)
     else:
         raise ValueError(family)
     trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
@@ -225,7 +225,7 @@ def bench_eval(only=None):
 
     rng = jax.random.PRNGKey(0)
     model, mvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem8=True,
         wpack_decoder=True)
     predictor = predictor_from(model, mvars)
     obj, mask = make_car_object(300, 200, seed=0)

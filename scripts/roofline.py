@@ -53,9 +53,12 @@ def conv(name, k, cin, cout, hout, wout, formulation="plain", f=None):
                        3 * 2 * pad(f * cin) * pad(f * cout)
                        * hout * (wout // f))
     elif formulation == "stem":
-        # s2d4 phase formulation: two 4x4 convs over Cin=3*16=48
-        # (padded to 128) producing the H/2 rows in two phase halves
-        executed = 2 * 4 * 4 * pad(48) * pad(cout) * (hout // 2) * wout
+        # SHIPPED lhs-dilated s2d4 stem (ops/wpack_encoder.py:
+        # s2d4_stem_conv_dilated): XLA phase-decomposes the row-dilated
+        # (7,3,48,128) kernel into two 3x3 convs over the 4x4-s2d input
+        # (Cin=48 padded to 128), each emitting one row phase of the
+        # f=2 width-packed stem (W/4 packed columns, 128 full lanes).
+        executed = 9 * pad(48) * pad(2 * cout) * hout * (wout // 2)
     else:
         raise ValueError(formulation)
     return {"name": name, "useful": useful, "executed": executed}
@@ -64,9 +67,12 @@ def conv(name, k, cin, cout, hout, wout, formulation="plain", f=None):
 def encoder_layers(H, W):
     """ResNet-18 encoder convs at input (H, W)."""
     L = [conv("stem7x7", 7, 3, 64, H // 2, W // 2, "stem")]
-    # layer1: 4x 3x3 64->64 @ /4
+    # layer1: 4x 3x3 64->64 @ /4, width-packed at f=2 (PackedBasicBlock:
+    # 128 full lanes both sides, kernel33 3x3 over W/2 packed columns
+    # = half the plain-NHWC executed FLOPs)
     for i in range(4):
-        L.append(conv(f"l1_c{i}", 3, 64, 64, H // 4, W // 4))
+        L.append(conv(f"l1_c{i}", 3, 64, 64, H // 4, W // 4,
+                      "wpack", f=2))
     # layers 2-4: [3x3 s2 cin->cout, 3x3, 1x1 ds, 3x3, 3x3]
     for li, (cin, cout, s) in enumerate(
             [(64, 128, 8), (128, 256, 16), (256, 512, 32)], start=2):

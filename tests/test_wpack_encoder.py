@@ -207,6 +207,29 @@ def test_rowfirst_maxpool_matches_width_first():
         np.asarray(wpack_maxpool3x3s2(xp)))
 
 
+def test_rowslice_maxpool_matches_width_first():
+    """The slice-max row chain (the same chain wpack4_maxpool3x3s2
+    ships in the stem8 path — no reduce_window, no SelectAndScatter
+    backward) matches the reference pool in values and in input
+    gradients away from ties."""
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        wpack_maxpool3x3s2, wpack_maxpool3x3s2_rowslice,
+    )
+
+    k = jax.random.PRNGKey(6)
+    xp = jax.random.normal(k, (2, 16, 12, 128), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(wpack_maxpool3x3s2_rowslice(xp, 64)),
+        np.asarray(wpack_maxpool3x3s2(xp)))
+    # continuous inputs: ties are measure-zero, grads must agree
+    g_new = jax.grad(lambda x: jnp.sum(
+        wpack_maxpool3x3s2_rowslice(x, 64) ** 2))(xp)
+    g_ref = jax.grad(lambda x: jnp.sum(
+        wpack_maxpool3x3s2(x) ** 2))(xp)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=0, atol=0)
+
+
 def test_phases_maxpool_matches_width_first():
     from depthmodelhardening_tpu.ops.wpack_encoder import (
         interleave_rows, phases_maxpool3x3s2, wpack_maxpool3x3s2,
@@ -218,6 +241,86 @@ def test_phases_maxpool_matches_width_first():
     np.testing.assert_array_equal(
         np.asarray(phases_maxpool3x3s2(y0, y1, 64)),
         np.asarray(wpack_maxpool3x3s2(interleave_rows(y0, y1))))
+
+
+def test_s2d8_stem_conv_matches_normalized_7x7_stride2():
+    """The 4x8-s2d stem (full input lanes, normalization folded into
+    the kernel's ones channel, f=4-packed output) matches
+    conv7x7_s2_pad3((x-0.45)/0.225) in values and input grads."""
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        s2d8_stem_conv_dilated,
+    )
+    from depthmodelhardening_tpu.ops.wpack_decoder import wunpack
+
+    k = jax.random.PRNGKey(7)
+    x = jax.random.uniform(k, (2, 16, 24, 3), jnp.float32)
+    K = 0.1 * jax.random.normal(jax.random.fold_in(k, 1),
+                                (7, 7, 3, 64), jnp.float32)
+
+    def ref(x):
+        xn = (x - 0.45) / 0.225
+        return jax.lax.conv_general_dilated(
+            xn, K, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    out = wunpack(s2d8_stem_conv_dilated(x, K), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x)),
+                               rtol=0, atol=1e-5)
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(x)
+    g_new = jax.grad(lambda x: jnp.sum(
+        wunpack(s2d8_stem_conv_dilated(x, K), 4) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=0, atol=3e-4)
+
+
+def test_wpack4_maxpool_matches_reference_pool():
+    """The f=4-consuming / f=2-emitting pool equals the width-first
+    reference pool re-packed."""
+    from depthmodelhardening_tpu.ops.wpack_encoder import (
+        wpack4_maxpool3x3s2, wpack_maxpool3x3s2,
+    )
+    from depthmodelhardening_tpu.ops.wpack_decoder import wpack, wunpack
+
+    k = jax.random.PRNGKey(8)
+    xp4 = jax.random.normal(k, (2, 16, 6, 256), jnp.float32)
+    got = wpack4_maxpool3x3s2(xp4, 64)
+    ref = wpack(wpack_maxpool3x3s2(wpack(wunpack(xp4, 4), 2)), 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_wpack_stem8_model_parity():
+    """Full-model parity: wpack_stem8 + packed f=4 skip vs the naive
+    model — same parameter tree, same disp (values/input grads), same
+    train-mode batch stats."""
+    import jax.tree_util as jtu
+
+    from depthmodelhardening_tpu.models.wrappers import init_monodepth2
+
+    k = jax.random.PRNGKey(9)
+    m0, v0 = init_monodepth2(k, 32, 64, scales=(0,))
+    # eval baseline: fold_bn-only (the already-tested fold rewrite is
+    # the dominant rounding source; stem8 itself adds ~5e-6)
+    mf, _ = init_monodepth2(k, 32, 64, scales=(0,), fold_bn=True)
+    m8, v8 = init_monodepth2(k, 32, 64, scales=(0,), wpack_stem8=True,
+                             wpack_decoder=True, fold_bn=True)
+    assert jtu.tree_structure(v0) == jtu.tree_structure(v8)
+    x = jax.random.uniform(jax.random.fold_in(k, 2), (2, 32, 64, 3),
+                           jnp.float32)
+    d0 = mf.apply(v0, x, train=False)
+    d8 = m8.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d0),
+                               rtol=0, atol=2e-6)
+    g0 = jax.grad(lambda x: jnp.sum(mf.apply(v0, x, train=False) ** 2))(x)
+    g8 = jax.grad(lambda x: jnp.sum(m8.apply(v0, x, train=False) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g0),
+                               rtol=0, atol=2e-5)
+    out0, mut0 = m0.apply(v0, x, train=True, mutable=["batch_stats"])
+    out8, mut8 = m8.apply(v0, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out0),
+                               rtol=0, atol=2e-6)
+    for a, b in zip(jtu.tree_leaves(mut0), jtu.tree_leaves(mut8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-5)
 
 
 def test_s2d4_stem_conv_dilated_matches_7x7_stride2():
