@@ -425,9 +425,8 @@ class ResnetEncoder(nn.Module):
         f=4 stem feature feeds the decoder's packed skip directly.
         Exact to float associativity; identical parameter tree
         (tests/test_wpack_encoder.py)."""
-        from ..ops.wpack_encoder import (
-            s2d8_stem_conv_dilated, wpack4_maxpool3x3s2,
-        )
+        from ..ops.pallas_pool import maybe_pallas_pool4
+        from ..ops.wpack_encoder import s2d8_stem_conv_dilated
         from ..ops.wpack_decoder import wunpack
 
         if self.num_layers > 34:
@@ -453,7 +452,11 @@ class ResnetEncoder(nn.Module):
                 f0p, use_running_average=not train)
             f0p = nn.relu(f0p)
 
-        xp = wpack4_maxpool3x3s2(f0p)  # f=2 packed, same block count
+        # f=2 packed, same block count; on TPU the pool's backward is
+        # the VMEM-resident pallas kernel (ops/pallas_pool.py) — the
+        # jnp chain's compare/select backward was the largest non-conv
+        # bucket of the bench step (~35 ms, scripts/trace_summary.py)
+        xp = maybe_pallas_pool4(f0p)
         blocks, _ = _STAGES[self.num_layers]
         for b in range(blocks[0]):
             xp = PackedBasicBlock(64, 2, dtype=self.dtype,

@@ -64,7 +64,7 @@ def prof_train_step(tmpdir):
 
     teacher_model, teacher_vars = init_monodepth2(
         jax.random.PRNGKey(0), H, W, dtype=DT, scales=(0,), fold_bn=True,
-        wpack_stem=True, wpack_decoder=True)
+        wpack_stem8=True, wpack_decoder=True)
     teacher = predictor_from(teacher_model, teacher_vars)
     obj, mask = make_car_object(300, 200, seed=0)
     cfg = DistillConfig(adv_type="object", epsilon=0.1, alpha=0.005,
@@ -75,7 +75,7 @@ def prof_train_step(tmpdir):
                         # keep identical to bench.py so the persistent
                         # compilation cache is shared
                         attack_view_dtype="bfloat16",
-                        wpack_stem=True, wpack_decoder=True)
+                        wpack_stem8=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()
