@@ -246,22 +246,25 @@ def wpack_up2conv3x3_reflect(x: jnp.ndarray, kernel: jnp.ndarray,
     # relayout passes per pass (copy -> reshape -> copy; step trace,
     # scripts/trace_summary.py), the single most expensive non-conv
     # bucket of the bench step. With zero-interleaved rows Xz[2j] =
-    # xe[j], out[o] = sum_s K5[s] Xz[o+s] reproduces exactly
+    # xe[j], out[o] = sum_s K4[s] Xz[o+s] reproduces exactly
     #   out[2i]   = ka0[0] xe[i]   + ka0[1] xe[i+1]   (row phase 0)
     #   out[2i+1] = ka1[0] xe[i+1] + ka1[1] xe[i+2]   (row phase 1)
-    # via K5 = [ka0[0], ka1[0], ka0[1], ka1[1], 0] — the transposed-
-    # conv identity XLA already phase-decomposes for stride-2 conv
-    # backwards. Measured at the up0_1 full-frame shape incl. a
-    # consumer conv (scripts/bench_interleave.py): fwd 10.2 -> 7.8 ms,
-    # grad 8.0 -> 7.0 ms. Exact to float associativity
-    # (tests/test_packed_decoder.py pins vs the naive chain).
-    z = jnp.zeros_like(ka0[0:1])
-    K5 = jnp.concatenate([ka0[0:1], ka1[0:1], ka0[1:2], ka1[1:2], z],
+    # via K4 = [ka0[0], ka1[0], ka0[1], ka1[1]] — the transposed-conv
+    # identity XLA already phase-decomposes for stride-2 conv
+    # backwards. An earlier K5 variant carried a trailing all-zero row
+    # (plus one high pad row): the even output phase then executed 3
+    # taps where 2 suffice — ~25% wasted phase FLOPs, visible as this
+    # conv bucket running at 82 TF/s vs ~149 for its peers in the step
+    # trace. Dropping the zero row is bit-exact and faster at both
+    # decoder shapes (scripts/bench_dilated_taps.py: fwd 4.82->4.30 /
+    # 5.37->4.33 ms, grad 4.63->4.27 / 4.59->4.27 ms). Exact to float
+    # associativity (tests/test_packed_decoder.py pins vs the naive
+    # chain).
+    K4 = jnp.concatenate([ka0[0:1], ka1[0:1], ka0[1:2], ka1[1:2]],
                          axis=0)
-    # out[2H-1]'s s=4 tap reads Xz[2H+3]: one high pad row (its weight
-    # is the zero block).
+    # xe has H+2 rows -> Xz has 2H+3; VALID 4-tap yields exactly 2H.
     y = jax.lax.conv_general_dilated(
-        xe, K5, window_strides=(1, 1), padding=((0, 1), (0, 0)),
+        xe, K4, window_strides=(1, 1), padding=((0, 0), (0, 0)),
         lhs_dilation=(2, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
