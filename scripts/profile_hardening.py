@@ -38,7 +38,7 @@ def _sync(x):
 def main():
     rng = jax.random.PRNGKey(0)
     teacher_model, tvars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), fold_bn=True, wpack_stem8=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, tvars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -50,7 +50,7 @@ def main():
                            attack_view_dtype="bfloat16",
                            ori_h=ORI_H, ori_w=ORI_W),
         batch_size=BATCH, compute_dtype="bfloat16",
-        wpack_stem=True, wpack_decoder=True)
+        wpack_stem8=True, wpack_decoder=True)
     trainer = HardeningTrainer(cfg, jax.random.PRNGKey(0), obj, mask,
                                teacher=teacher, steps_per_epoch=100)
     state = trainer.make_state()
