@@ -255,8 +255,8 @@ class DepthDecoder(nn.Module):
         hlo_stats traces. Exact to float associativity; same parameter
         tree (tests/test_packed_decoder.py)."""
         from ..ops.wpack_decoder import (
-            wpack, wpack_conv3x3_reflect, wpack_up2conv3x3_reflect,
-            wunpack,
+            wpack, wpack_conv3x3_reflect, wpack_dispconv,
+            wpack_up2conv3x3_reflect, wunpack,
         )
 
         outputs = {}
@@ -271,11 +271,24 @@ class DepthDecoder(nn.Module):
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
                           name=f"upconv_{i}_1")(x)
             if i in self.scales:
-                disp = Conv3x3(self.num_output_channels,
-                               dtype=self.dtype,
-                               name=f"dispconv_{i}")(x)
-                outputs[("disp", i)] = nn.sigmoid(
-                    disp.astype(jnp.float32))
+                if self.num_output_channels == 1 and x.shape[2] >= 4:
+                    # tap-split head on the transiently f=2-packed
+                    # tensor (wpack is a reshape): a 1-channel 3x3
+                    # head pads Cout 1 -> 128 on the MXU (64x executed
+                    # waste at 16ch); the tap-split matmul contracts
+                    # all 9 taps at once (ops/wpack_decoder.py)
+                    k, b = _Conv3x3Params(1, x.shape[-1],
+                                          name=f"dispconv_{i}")()
+                    d = wpack_dispconv(wpack(x, 2), k.astype(self.dtype),
+                                       b.astype(self.dtype), f=2)
+                    outputs[("disp", i)] = nn.sigmoid(
+                        wunpack(d, 2).astype(jnp.float32))
+                else:
+                    disp = Conv3x3(self.num_output_channels,
+                                   dtype=self.dtype,
+                                   name=f"dispconv_{i}")(x)
+                    outputs[("disp", i)] = nn.sigmoid(
+                        disp.astype(jnp.float32))
 
         def wconv(segs, cout, name, f, seg_ch=None):
             k, b = _ConvBlockParams(cout, sum(
@@ -289,8 +302,21 @@ class DepthDecoder(nn.Module):
         def wdisp(xh, ch, f, i):
             k, b = _Conv3x3Params(self.num_output_channels, ch,
                                   name=f"dispconv_{i}")()
-            d = wpack_conv3x3_reflect(xh, k.astype(self.dtype),
-                                      b.astype(self.dtype), f=f)
+            if self.num_output_channels == 1 and xh.shape[2] >= 64:
+                # tap-split head: 6x fewer executed MACs than the
+                # phase-blocked conv at f=8. Standalone it wins at all
+                # shapes (scripts/bench_dispconv.py: full igrad
+                # 5.4 -> 2.5 ms), but at STEP level the crop-shaped
+                # PGD inner loop measured faster keeping the phase
+                # conv (120.9 vs 119.6 imgs/s — the small-M conv
+                # fuses with the sigmoid/objective epilogue where the
+                # nine shifted adds do not), so only full frames
+                # (M >= 64) take the tap-split.
+                d = wpack_dispconv(xh, k.astype(self.dtype),
+                                   b.astype(self.dtype), f=f)
+            else:
+                d = wpack_conv3x3_reflect(xh, k.astype(self.dtype),
+                                          b.astype(self.dtype), f=f)
             return nn.sigmoid(wunpack(d, f).astype(jnp.float32))
 
         # f-schedule: f doubles through each wlane upsample so every

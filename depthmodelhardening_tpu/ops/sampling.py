@@ -100,9 +100,10 @@ import jax
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def bilinear_sample_rows(img, x, precision_dtype=jnp.float32):
-    """Row-aligned bilinear sample: out[b,h,xo,:] interpolates
-    img[b,h,:,:] at column x[b,h,xo] (border clamp).
+def bilinear_sample_rows_tri(img, x, precision_dtype=jnp.float32):
+    """Row-aligned bilinear sample, triangular-weight formulation:
+    out[b,h,xo,:] interpolates img[b,h,:,:] at column x[b,h,xo]
+    (border clamp).
 
     The rectified-stereo reprojection warp samples each target row
     from the SAME source row (pure x-translation extrinsic), so the
@@ -114,7 +115,10 @@ def bilinear_sample_rows(img, x, precision_dtype=jnp.float32):
     with the source row on the MXU (XLA fuses the weight generator
     into the dot — the (W, W) weights never reach HBM). Measured
     12.4 ms fwd / ~35 ms fwd+grads (scripts/bench_hwarp.py), values
-    bit-equal to the gather path.
+    bit-equal to the gather path. SUPERSEDED as the default by the
+    one-hot formulation below (bilinear_sample_rows), which halves
+    the VPU weight-generation work that walls this one; kept for
+    parity testing.
 
     Differentiable w.r.t. img (exact transposed contraction) and x
     (sum_j dtri/dx * img[j] = the standard bilinear coordinate
@@ -162,7 +166,116 @@ def _bsr_bwd(precision_dtype, res, g):
     return d_img, d_x.astype(x.dtype)
 
 
-bilinear_sample_rows.defvjp(_bsr_fwd, _bsr_bwd)
+bilinear_sample_rows_tri.defvjp(_bsr_fwd, _bsr_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilinear_sample_rows(img, x, precision_dtype=jnp.float32):
+    """Row-aligned bilinear sample, one-hot formulation (the default):
+    out[b,h,xo,:] interpolates img[b,h,:,:] at column x[b,h,xo]
+    (border clamp). Same contract as bilinear_sample_rows_tri.
+
+    Profiling the triangular-weight path shows its wall is the VPU
+    weight GENERATION, not the MXU contraction: tri(xc - j) over the
+    (B,H,Xo,W) grid costs ~4 VPU ops/element (~11 ms at batch 32,
+    320x1024 — scripts/bench_hwarp2.py: transposing the contraction
+    to fill the output lanes moved nothing, 12.1 -> 11.6 ms, because
+    both orientations idle on the generator). This formulation cuts
+    the generator to ONE compare per element and feeds the MXU a
+    lane-full contraction:
+
+      i = clip(floor(xc), 0, W-2), frac = xc - i
+      oh[j, xo] = (i[xo] == j)              (one equality -> 0/1)
+      a  = src6^T @ oh^T, src6 = [img, img_next] channel-concat
+           (img_next[j] = img[min(j+1, W-1)])
+      out = a[:C] * (1-frac) + a[C:] * frac  (exact two-tap lerp)
+
+    The contraction runs transposed — (2C, W) @ (W, Xo) per row — so
+    the Xo=W output columns fill the 128 MXU lanes and 2C=6 rides the
+    8-sublane M dim (the shipped orientation padded Cout=3 -> 128
+    lanes, a 42x executed-FLOP waste that the generator wall hid).
+    The lerp happens AFTER the matmul in precision_dtype, on exact
+    0/1-gathered taps — numerically at least as close to the gather
+    reference as the tri path (whose weights round to the image dtype
+    before the dot).
+
+    Custom VJP: d_img reuses the regenerated one-hot in the same
+    transposed orientation (d_src6^T = [g*(1-frac), g*frac]^T @ oh^T,
+    lanes = W); d_x = sum_c (a[C:] - a[:C]) * g reuses the FORWARD
+    residual `a` — no weight regeneration and no matmul at all, where
+    the tri backward paid a second generator pass (dtri) plus a
+    padded-lane contraction. Zero outside [0, W-1] (clip transpose),
+    and a[C:] - a[:C] is the right-derivative at integer xc (the tri
+    path emits 0 there — a measure-zero subgradient choice).
+    """
+    out, _ = _bsr1_fwd(img, x, precision_dtype)
+    return out
+
+
+def _bsr1_parts(x, W, precision_dtype):
+    xc = jnp.clip(x.astype(precision_dtype), 0.0, W - 1)
+    i = jnp.clip(jnp.floor(xc), 0.0, W - 2)
+    return i, xc - i  # frac in [0, 1]
+
+
+def _bsr1_onehot(i, W, dtype, precision_dtype):
+    js = jnp.arange(W, dtype=precision_dtype)
+    # (B, H, W, Xo): ohT[j, xo] = (i[xo] == j)
+    return (i[..., None, :] == js[..., :, None]).astype(dtype)
+
+
+def _bsr1_prec(img):
+    # the one-hot operand is exactly representable at any precision;
+    # DEFAULT (bf16-pass) matmul precision would truncate an f32
+    # image's taps, so f32 callers get the full-precision passes
+    return ("highest" if img.dtype == jnp.float32 else None)
+
+
+def _bsr1_fwd(img, x, precision_dtype):
+    B, H, W, C = img.shape
+    pd = precision_dtype
+    i, frac = _bsr1_parts(x, W, pd)
+    ohT = _bsr1_onehot(i, W, img.dtype, pd)
+    src6 = jnp.concatenate(
+        [img, jnp.concatenate([img[:, :, 1:], img[:, :, W - 1:W]],
+                              axis=2)], axis=-1)
+    a = jnp.einsum("bhcj,bhjx->bhcx", jnp.swapaxes(src6, 2, 3), ohT,
+                   preferred_element_type=pd,
+                   precision=_bsr1_prec(img))
+    a = jnp.swapaxes(a, 2, 3)  # (B, H, Xo, 2C), pd
+    out = (a[..., :C] * (1.0 - frac[..., None])
+           + a[..., C:] * frac[..., None]).astype(img.dtype)
+    return out, (img, x, a.astype(img.dtype))
+
+
+def _bsr1_bwd(precision_dtype, res, g):
+    img, x, a = res
+    B, H, W, C = img.shape
+    pd = precision_dtype
+    i, frac = _bsr1_parts(x, W, pd)
+    ohT = _bsr1_onehot(i, W, img.dtype, pd)
+    gq = jnp.concatenate([g.astype(pd) * (1.0 - frac[..., None]),
+                          g.astype(pd) * frac[..., None]],
+                         axis=-1).astype(img.dtype)  # (B,H,Xo,2C)
+    d6 = jnp.einsum("bhcx,bhjx->bhcj", jnp.swapaxes(gq, 2, 3), ohT,
+                    preferred_element_type=pd,
+                    precision=_bsr1_prec(img))
+    d6 = jnp.swapaxes(d6, 2, 3)  # (B, H, W, 2C), pd
+    d_next = d6[..., C:]
+    # src6[:, j, C:] = img[min(j+1, W-1)]: shift right, and row W-2's
+    # AND row W-1's next-taps both land on img[W-1]
+    d_img = d6[..., :C]
+    d_img = d_img + jnp.concatenate(
+        [jnp.zeros_like(d_next[:, :, :1]), d_next[:, :, :W - 1]],
+        axis=2)
+    d_img = d_img.at[:, :, W - 1].add(d_next[:, :, W - 1])
+    d_x = jnp.sum((a[..., C:].astype(pd) - a[..., :C].astype(pd))
+                  * g.astype(pd), axis=-1)
+    d_x = jnp.where((x >= 0) & (x <= W - 1), d_x, 0.0)
+    return d_img.astype(img.dtype), d_x.astype(x.dtype)
+
+
+bilinear_sample_rows.defvjp(_bsr1_fwd, _bsr1_bwd)
 
 
 def grid_sample_rows(img, grid_x, align_corners: bool = True):

@@ -312,6 +312,92 @@ def wpack_up2conv3x3_phases(x: jnp.ndarray, kernel: jnp.ndarray,
     return y
 
 
+def wpack_dispconv_kernel(kernel: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(3,3,Cin,1) disparity-head kernel -> (f*Cin, 9*f) tap-split
+    matrix: column t*f + q carries tap t = 3*dr + dc of output phase q,
+    i.e. (X @ K)[..., t*f+q] = sum_c X[..., q*Cin+c] * kernel[dr,dc,c,0].
+    """
+    Cin = kernel.shape[2]
+    k9 = kernel[..., 0].reshape(9, Cin)  # (t, c)
+    # K[(q', c), (t, q)] = k9[t, c] * (q' == q)
+    K = jnp.einsum("tc,uq->uctq", k9, jnp.eye(f, dtype=kernel.dtype))
+    return K.reshape(f * Cin, 9 * f)
+
+
+def wpack_dispconv(x: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: Optional[jnp.ndarray] = None, f: int = 8,
+                   dtype=None) -> jnp.ndarray:
+    """wpack(conv3x3(reflect_pad1(X)) + bias, f) for a SINGLE-output-
+    channel head (the disparity convs), given wpack(X, f).
+
+    The phase-blocked MXU formulation (wpack_conv3x3_reflect) executes
+    3*2*(f*Cin)*pad(f*1) MACs per packed position — with Cout=1 the
+    output side pads f -> 128 lanes, a 16x waste at f=8 that made
+    disp0 the roofline's worst layer (8.05 executed GFLOP per full
+    320x1024 pass for 0.09 useful, scripts/roofline.py). This
+    formulation splits the 3x3 into
+      1. ONE 1x1 matmul contracting the channels for all nine taps at
+         once: s[..., t*f+q] = sum_c x[..., q*C+c] * k[t, c]
+         (wpack_dispconv_kernel; output 9f = 72 lanes at f=8, so the
+         MXU pad is 128/72 instead of 128/8 and the executed FLOPs
+         drop 6x: 128*128 vs 6*128*128 per position-row), and
+      2. nine shifted elementwise adds in packed space: tap (dr, dc)
+         of output phase q reads s row h+dr-1 at original column
+         w+dc-1, i.e. lane group t shifted by one original column
+         (a lane slice + one block roll at the group edge) and one
+         row (an outer-dim slice) — pure VPU work XLA fuses.
+    Reflection padding (rows -1 -> 1, H -> H-2; cols likewise) is
+    applied in the shifts. Exact to float associativity; same
+    (3,3,Cin,1) parameters (tests/test_packed_decoder.py).
+    """
+    dt = dtype or x.dtype
+    x = x.astype(dt)
+    B, H, M, FC = x.shape
+    Cin = kernel.shape[2]
+    assert FC == f * Cin and kernel.shape[3] == 1, (x.shape, kernel.shape, f)
+    assert f >= 2 and M >= 2, (f, M)
+    K = wpack_dispconv_kernel(kernel, f).astype(dt)
+    # f32 accumulation inside the 16-term channel dot (as the conv
+    # formulation's accumulator); the per-tap tensor is stored back at
+    # the compute dtype (storing it f32 doubles the shift/add HBM
+    # traffic for <1 ulp) and the 9-term tap sum accumulates in f32
+    # registers (the casts+adds fuse into one output loop).
+    s = jax.lax.dot_general(x, K, (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ).astype(dt)
+
+    def col_shift(g, dc):
+        if dc == 0:  # tap column w-1; reflect col -1 -> col 1
+            prev = jnp.concatenate(
+                [g[:, :, 0:1, 1:2], g[:, :, :M - 1, f - 1:f]], axis=2)
+            return jnp.concatenate([prev, g[..., :f - 1]], axis=-1)
+        if dc == 2:  # tap column w+1; reflect col W -> col W-2
+            nxt = jnp.concatenate(
+                [g[:, :, 1:, 0:1], g[:, :, M - 1:M, f - 2:f - 1]],
+                axis=2)
+            return jnp.concatenate([g[..., 1:], nxt], axis=-1)
+        return g
+
+    def row_shift(g, dr):
+        if dr == 0:  # tap row h-1; reflect row -1 -> row 1
+            return jnp.concatenate([g[:, 1:2], g[:, :H - 1]], axis=1)
+        if dr == 2:  # tap row h+1; reflect row H -> row H-2
+            return jnp.concatenate([g[:, 1:], g[:, H - 2:H - 1]],
+                                   axis=1)
+        return g
+
+    out = None
+    for dr in range(3):
+        for dc in range(3):
+            t = 3 * dr + dc
+            g = row_shift(col_shift(s[..., t * f:(t + 1) * f], dc), dr)
+            g = g.astype(jnp.float32)
+            out = g if out is None else out + g
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(dt)  # (B, H, M, f) = wpack(disp, f)
+
+
 def _left_right_cols(x: jnp.ndarray, f: int, C_seg: Sequence[int]):
     """Reflect-adjusted pad block columns of a width-packed tensor.
 

@@ -40,7 +40,7 @@ def timeit(f, *args, n=10):
 def main():
     rng = jax.random.PRNGKey(0)
     teacher_model, teacher_vars = init_monodepth2(
-        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem=True,
+        rng, H, W, dtype=jnp.bfloat16, scales=(0,), wpack_stem8=True,
         wpack_decoder=True)
     teacher = predictor_from(teacher_model, teacher_vars)
     obj, mask = make_car_object(300, 200, seed=0)
@@ -49,7 +49,7 @@ def main():
                         scene_h=H, scene_w=W, ori_h=ORI_H, ori_w=ORI_W,
                         compute_dtype="bfloat16",
                         attack_crop_w=384, attack_crop_h=256,
-                        wpack_stem=True, wpack_decoder=True)
+                        wpack_stem8=True, wpack_decoder=True)
     trainer = DistillTrainer(cfg, jax.random.PRNGKey(1), obj, mask,
                              teacher)
     state = trainer.make_state()

@@ -53,12 +53,23 @@ def conv(name, k, cin, cout, hout, wout, formulation="plain", f=None):
                        3 * 2 * pad(f * cin) * pad(f * cout)
                        * hout * (wout // f))
     elif formulation == "stem":
-        # SHIPPED lhs-dilated s2d4 stem (ops/wpack_encoder.py:
-        # s2d4_stem_conv_dilated): XLA phase-decomposes the row-dilated
-        # (7,3,48,128) kernel into two 3x3 convs over the 4x4-s2d input
-        # (Cin=48 padded to 128), each emitting one row phase of the
-        # f=2 width-packed stem (W/4 packed columns, 128 full lanes).
-        executed = 9 * pad(48) * pad(2 * cout) * hout * (wout // 2)
+        # SHIPPED lhs-dilated s2d8 stem (ops/wpack_encoder.py:
+        # s2d8_stem_conv_dilated, ADVICE r4 #1): XLA phase-decomposes
+        # the row-dilated kernel into two (3,2,128,256) phase convs
+        # over the left-shifted 4x8-s2d input (4*8*4 = 128 FULL input
+        # lanes incl. the folded-normalization ones channel), each
+        # emitting one row phase of the f=4 width-packed stem
+        # (W/8 + 1 packed columns, 4*cout = 256 output lanes).
+        executed = (2 * 3 * 2 * pad(128) * pad(4 * cout)
+                    * (hout // 2) * (wout // 4 + 1))
+    elif formulation == "tapsplit":
+        # single-output-channel disparity head (ops/wpack_decoder.py
+        # wpack_dispconv): ONE 1x1 matmul produces all nine per-tap
+        # channel contractions (9f = 72 output lanes at f=8) + nine
+        # VPU shifted adds — no 3x2 phase conv, no Cout=1 -> 128
+        # output-lane pad.
+        assert k == 3 and f and cout == 1
+        executed = pad(f * cin) * pad(9 * f) * hout * (wout // f)
     else:
         raise ValueError(formulation)
     return {"name": name, "useful": useful, "executed": executed}
@@ -85,9 +96,11 @@ def encoder_layers(H, W):
     return L
 
 
-def decoder_layers(H, W, scales=(0,)):
+def decoder_layers(H, W, scales=(0,), tapsplit=None):
     """Monodepth2 decoder convs (disp0-only twin), wpack schedule for
-    stages 1/0 as shipped (models/depth_decoder.py:_call_wpacked)."""
+    stages 1/0 as shipped (models/depth_decoder.py:_call_wpacked).
+    tapsplit: disp0 formulation; default = the shipped M>=64 switch
+    (tap-split at full frames, phase conv at the attack crop)."""
     L = [
         conv("up4_0", 3, 512, 256, H // 32, W // 32),
         conv("up4_1", 3, 512, 256, H // 16, W // 16),
@@ -106,7 +119,9 @@ def decoder_layers(H, W, scales=(0,)):
         conv("up0_1", 3, 16, 16, H, W, "wpack", f=8),
     ]
     if 0 in scales:
-        L.append(conv("disp0", 3, 16, 1, H, W, "wpack", f=8))
+        ts = (W // 8 >= 64) if tapsplit is None else tapsplit
+        L.append(conv("disp0", 3, 16, 1, H, W,
+                      "tapsplit" if ts else "wpack", f=8))
     return L
 
 

@@ -136,6 +136,41 @@ def test_wpack_conv_matches_reflect_conv():
                                    atol=5e-3)
 
 
+def test_wpack_dispconv_matches_reflect_conv():
+    """Tap-split single-channel head (ops/wpack_decoder.py
+    wpack_dispconv): values and gradients vs the reference reflect
+    conv at every decoder disp-head regime (f=8/4/2, incl. the
+    transient f=2 packing of the naive-stage scale-2/3 heads)."""
+    from depthmodelhardening_tpu.ops.wpack_decoder import (
+        wpack, wpack_dispconv, wunpack,
+    )
+
+    rng = np.random.RandomState(7)
+    for (H, W, Cin, f) in [(6, 32, 16, 8), (5, 16, 32, 4),
+                           (7, 12, 64, 2), (4, 8, 128, 2),
+                           (6, 16, 3, 8)]:
+        x = jnp.asarray(rng.randn(2, H, W, Cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, Cin, 1), jnp.float32)
+        b = jnp.asarray(rng.randn(1), jnp.float32)
+
+        def ref(x, k, b):
+            return _ref_conv(x, k, b)
+
+        def tap(x, k, b, _f=f):
+            return wunpack(wpack_dispconv(wpack(x, _f), k, b, f=_f),
+                           _f)
+
+        np.testing.assert_allclose(np.asarray(tap(x, k, b)),
+                                   np.asarray(ref(x, k, b)), atol=2e-4)
+        gr = jax.grad(lambda *t: jnp.sum(jnp.sin(ref(*t))),
+                      (0, 1, 2))(x, k, b)
+        gt = jax.grad(lambda *t: jnp.sum(jnp.sin(tap(*t))),
+                      (0, 1, 2))(x, k, b)
+        for u, v in zip(gr, gt):
+            np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                       atol=5e-4)
+
+
 def _model_outs_and_grad(model, v, x):
     """ONE trace per model: all disparity scales + input gradient
     (tracing the ~200-module model dominates this file's wall time,
