@@ -4,6 +4,7 @@ import numpy as np
 import torch
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from depthmodelhardening_tpu.models import (
@@ -159,6 +160,7 @@ def test_full_model_and_export_roundtrip():
         k for k in dec_oracle.state_dict().keys())
 
 
+@pytest.mark.slow  # heaviest parity compile (VERDICT r4 #6: keep the fast suite ~5 min); a lighter same-area case stays fast
 def test_fold_bn_parity_all_stems():
     """fold_bn=True (eval-mode BN folded into conv kernels,
     resnet._BNFold) matches the naive model on values AND input

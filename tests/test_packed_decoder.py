@@ -186,6 +186,7 @@ def _model_outs_and_grad(model, v, x):
     return outs, g
 
 
+@pytest.mark.slow  # heaviest parity compile (VERDICT r4 #6: keep the fast suite ~5 min); a lighter same-area case stays fast
 def test_wpack_decoder_model_parity():
     """Full MonodepthModel with wpack_decoder=True: same parameter
     tree, same disparities (all scales) and input gradients as the

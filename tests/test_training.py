@@ -149,6 +149,7 @@ def test_distill_step_updates_params(small_teacher):
     assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
 
 
+@pytest.mark.slow  # heaviest parity compile (VERDICT r4 #6: keep the fast suite ~5 min); a lighter same-area case stays fast
 def test_distill_step_attack_scale_packed(small_teacher):
     """The TPU perf flags together: packed decoder + scale-1 attack
     objective drive a full distill step through the real model."""

@@ -3,6 +3,7 @@ the 4x4-s2d stem, packed max pool, packed zero-SAME conv, packed
 BatchNorm, and the full flag-gated encoder vs the naive ResNet."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -288,6 +289,7 @@ def test_wpack4_maxpool_matches_reference_pool():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow  # heaviest parity compile (VERDICT r4 #6: keep the fast suite ~5 min); a lighter same-area case stays fast
 def test_wpack_stem8_model_parity():
     """Full-model parity: wpack_stem8 + packed f=4 skip vs the naive
     model — same parameter tree, same disp (values/input grads), same
