@@ -160,13 +160,84 @@ def _fwd(pred, target):
     return _pallas_forward(pred, target), (pred, target)
 
 
-def _bwd(res, g):
+def _boxsum3_full(q):
+    """Adjoint of the VALID 3x3 window sum: every (padded-grid)
+    position collects the cotangents of the <=9 windows covering it —
+    a FULL correlation with ones(3,3), i.e. pad-2 + VALID 3x3 sum."""
+    qp = jnp.pad(q, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    return jax.lax.reduce_window(
+        qp, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID")
+
+
+def _analytic_bwd(res, g):
+    """Closed-form VJP of _jnp_forward (round 5, VERDICT r4 #4).
+
+    The previous backward re-ran jax.vjp(_jnp_forward) — a full jnp
+    forward (incl. its pooled pass) plus the autodiff adjoint,
+    ~17 ms per call at the config-4 shape x 4 scale calls per step.
+    Analytically, the loss depends on x only through the five pooled
+    moments p = meanpool3([x, y, x2, y2, xy]) and the L1 term, so the
+    backward is: elementwise d r/d p_k maps -> ONE stacked box-sum
+    (the meanpool adjoint) -> elementwise combine with the padded
+    images -> the reflect-pad slice-add adjoint. Tie conventions
+    mirror jax autodiff exactly: clip passes 0.5 at exact 0/1
+    boundaries, |.|' is +1 at 0 (tests/test_ops.py pins parity vs
+    jax.vjp of the jnp path).
+    """
     pred, target = res
-    _, vjp = jax.vjp(_jnp_forward, pred, target)
-    return vjp(g)
+    from .padding import reflect_pad1
+
+    C = pred.shape[-1]
+    pf = pred.astype(jnp.float32)
+    tf = target.astype(jnp.float32)
+    x = reflect_pad1(pf)
+    y = reflect_pad1(tf)
+    from .ssim import _mean_pool3
+
+    pooled = _mean_pool3(jnp.concatenate(
+        [x, y, x * x, y * y, x * y], axis=-1))
+    p0 = pooled[..., 0 * C:1 * C]
+    p1 = pooled[..., 1 * C:2 * C]
+    p2 = pooled[..., 2 * C:3 * C]
+    p3 = pooled[..., 3 * C:4 * C]
+    p4 = pooled[..., 4 * C:5 * C]
+    A = p0 ** 2 + p1 ** 2 + _C1          # ssim denominator, mu part
+    Bn = 2 * p0 * p1 + _C1               # ssim numerator, mu part
+    T = (p2 - p0 ** 2) + (p3 - p1 ** 2) + _C2
+    S = 2 * (p4 - p0 * p1) + _C2
+    d = A * T
+    r = (Bn * S) / d
+    v = (1 - r) / 2
+    # jnp.clip(v, 0, 1) autodiff: 1 inside, 0.5 at exact boundaries
+    mask = (jnp.where((v > 0) & (v < 1), 1.0, 0.0)
+            + jnp.where((v == 0) | (v == 1), 0.5, 0.0))
+    gm = (0.85 / C) * g[..., None] * (-0.5) * mask
+    rd = r / d                           # = n / d^2
+    q0 = gm * (2 * p1 * (S - Bn) / d - rd * 2 * p0 * (T - A))
+    q1 = gm * (2 * p0 * (S - Bn) / d - rd * 2 * p1 * (T - A))
+    q23 = gm * (-rd * A)
+    q4 = gm * (2 * Bn / d)
+    u = _boxsum3_full(jnp.concatenate(
+        [q0, q1, q23, q23, q4], axis=-1) / 9.0)
+    u0 = u[..., 0 * C:1 * C]
+    u1 = u[..., 1 * C:2 * C]
+    u2 = u[..., 2 * C:3 * C]
+    u3 = u[..., 3 * C:4 * C]
+    u4 = u[..., 4 * C:5 * C]
+    dx_pad = u0 + 2 * x * u2 + y * u4
+    dy_pad = u1 + 2 * y * u3 + x * u4
+    _, vjp_x = jax.vjp(reflect_pad1, pf)
+    _, vjp_y = jax.vjp(reflect_pad1, tf)
+    (dx,) = vjp_x(dx_pad)
+    (dy,) = vjp_y(dy_pad)
+    # L1 part; |.|' = +1 at exact equality (lax.abs convention)
+    sgn = jnp.where(pf >= tf, 1.0, -1.0)
+    l1 = (0.15 / C) * g[..., None] * sgn
+    return ((dx + l1).astype(pred.dtype),
+            (dy - l1).astype(target.dtype))
 
 
-fused_reprojection_loss.defvjp(_fwd, _bwd)
+fused_reprojection_loss.defvjp(_fwd, _analytic_bwd)
 
 
 def reprojection_loss_auto(pred, target):

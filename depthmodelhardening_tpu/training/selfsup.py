@@ -93,7 +93,6 @@ def generate_images_pred(disps, batch, poses, cfg: SelfSupConfig):
         depths[scale] = depth
         for fid in cfg.source_frame_ids:
             T = batch["stereo_T"] if fid == "s" else poses[fid]
-            grid = reproject_coords(depth, batch["inv_K"], batch["K"], T)
             if fid == "s" and cfg.rectified_stereo \
                     and _stereo_is_pure_x(T):
                 # Rectified stereo: stereo_T is a pure x-translation
@@ -102,11 +101,27 @@ def generate_images_pred(disps, batch, poses, cfg: SelfSupConfig):
                 # warp is a 1-D horizontal resample — the MXU one-hot
                 # contraction replaces the element-wise gather that
                 # dominated the full hardening step (~30x,
-                # ops/sampling.py:bilinear_sample_rows).
-                preds[(fid, scale)] = grid_sample_rows(
-                    batch["color"][fid], grid[..., 0],
-                    align_corners=True)
+                # ops/sampling.py:bilinear_sample_rows). The sample
+                # column is CLOSED-FORM: with R = I, t = (tx, 0, 0),
+                # K·inv_K = I collapses backproject->transform->
+                # project (layers.py:163-198) to
+                #   sx = (x·depth + K[0,0]·tx) / (depth + eps)
+                # — same values including the reference's +eps
+                # z-division guard, without the (B,4,H·W) einsum
+                # chain or the [-1,1] normalize/unnormalize
+                # round-trip (~20 ms of geometry per config-4 step).
+                from ..ops.sampling import bilinear_sample_rows
+
+                d = depth[..., 0]
+                xs = jnp.arange(W, dtype=d.dtype)
+                fxtx = (batch["K"][:, 0, 0]
+                        * T[:, 0, 3])[:, None, None].astype(d.dtype)
+                sx = (xs * d + fxtx) / (d + 1e-7)
+                preds[(fid, scale)] = bilinear_sample_rows(
+                    batch["color"][fid], sx)
             else:
+                grid = reproject_coords(depth, batch["inv_K"],
+                                        batch["K"], T)
                 preds[(fid, scale)] = grid_sample(
                     batch["color"][fid], grid, padding_mode="border",
                     align_corners=True)

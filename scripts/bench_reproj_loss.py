@@ -34,10 +34,10 @@ def timeit(f, *args, n=10):
 
 def main():
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32),
-                    jnp.bfloat16)
-    y = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32),
-                    jnp.bfloat16)
+    # f32: the trainer feeds f32 colors/preds (disparities and warps
+    # stay f32 through the loss tail)
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    y = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
 
     for nm, fn in (("pallas", lambda a, b:
                     fused_reprojection_loss(a, b)),

@@ -205,6 +205,28 @@ def test_reprojection_loss_weights():
         atol=1e-6)
 
 
+def test_reprojection_loss_analytic_backward_matches_autodiff():
+    """The fused loss's closed-form VJP (ops/pallas_reproj.py
+    _analytic_bwd — elementwise moment-chain + one stacked box-sum)
+    vs jax.vjp of the jnp forward, including the clip/abs tie
+    conventions on exact-equal pixels."""
+    from depthmodelhardening_tpu.ops.pallas_reproj import (
+        _analytic_bwd, _jnp_forward,
+    )
+
+    x = jnp.asarray(RNG.rand(2, 8, 12, 3).astype(np.float32))
+    y = jnp.asarray(RNG.rand(2, 8, 12, 3).astype(np.float32))
+    y = y.at[0, 2, 3].set(x[0, 2, 3])  # ties: |.|' and the SSIM clip
+    g = jnp.asarray(RNG.randn(2, 8, 12).astype(np.float32))
+    _, vjp = jax.vjp(_jnp_forward, x, y)
+    gx_ref, gy_ref = vjp(g)
+    gx, gy = _analytic_bwd((x, y), g)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
+                               atol=1e-5)
+
+
 def test_smooth_loss_zero_for_constant_disp():
     disp = jnp.ones((1, 8, 8, 1))
     img = jnp.asarray(RNG.rand(1, 8, 8, 3).astype(np.float32))

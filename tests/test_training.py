@@ -50,6 +50,33 @@ def _batch_for_selfsup(rng, B=2, cfg=None):
     }
 
 
+def test_rectified_stereo_closed_form_matches_general():
+    """The row-path's closed-form sample column
+    sx = (x*depth + fx*tx)/(depth+eps) (training/selfsup.py) must
+    reproduce the full backproject->transform->project chain +
+    generic 2-D grid_sample on a rectified extrinsic."""
+    import dataclasses
+
+    from depthmodelhardening_tpu.training.selfsup import (
+        generate_images_pred,
+    )
+
+    cfg = _small_selfsup()
+    rng = jax.random.PRNGKey(3)
+    batch = _batch_for_selfsup(rng)
+    disps = {s: jax.random.uniform(
+        jax.random.fold_in(rng, s),
+        (2, H // 2 ** s, W // 2 ** s, 1), minval=0.05, maxval=0.9)
+        for s in cfg.scales}
+    row, _ = generate_images_pred(disps, batch, {}, cfg)
+    gen, _ = generate_images_pred(
+        disps, batch, {},
+        dataclasses.replace(cfg, rectified_stereo=False))
+    for key in row:
+        np.testing.assert_allclose(np.asarray(row[key]),
+                                   np.asarray(gen[key]), atol=2e-4)
+
+
 @pytest.mark.slow
 def test_selfsup_identical_frames_low_loss():
     """When source == target the automask identity branch should win and
