@@ -81,8 +81,17 @@ class ResnetEncoderMatching(nn.Module):
         current_feats: (B, h, w, C); lookup_feats: (B, F, h, w, C);
         poses: (B, F, 4, 4); K/invK: (B, 4, 4) at matching resolution.
         Returns (cost_volume (B, D, h, w), missing_mask (B, D, h, w)).
+
+        h, w come from the RUNTIME feature shape, not the module's
+        static input size: the hardening attack runs the model on
+        object-centered crops (round-5 fix — the static matching_hw
+        broadcast a full-frame plane grid against crop features). At
+        matched shapes this is identical; for crops the plane sweep
+        runs at the crop's quarter resolution (values unchanged on
+        the reference's zero-lookup path, where `present` zeroes
+        every frame's diffs).
         """
-        h, w = self.matching_hw
+        h, w = current_feats.shape[1:3]
         D = self.num_depth_bins
         warp_depths = jnp.broadcast_to(
             depth_bins.reshape(D, 1, 1, 1), (D, h, w, 1))
@@ -131,17 +140,35 @@ class ResnetEncoderMatching(nn.Module):
     def __call__(self, current_image, lookup_images, poses, K, invK,
                  min_depth_bin: Optional[Any] = None,
                  max_depth_bin: Optional[Any] = None,
-                 train: bool = False):
+                 train: bool = False, skip_cost_volume: bool = False):
         """current_image (B,H,W,3); lookup_images (B,F,H,W,3);
         poses (B,F,4,4); K/invK (B,4,4) at 1/4 resolution.
-        Returns ([f0..f4], lowest_cost (B,h,w), confidence (B,h,w))."""
+        Returns ([f0..f4], lowest_cost (B,h,w), confidence (B,h,w)).
+
+        skip_cost_volume=True is the reference hardening mode's
+        zero-lookup single-frame path (manydepth2/trainer.py:345-386)
+        SHORT-CIRCUITED: with all-zero poses every frame is 'missing'
+        (resnet_encoder.py:190-191), so the cost volume is provably
+        all-zeros, confidence all-zero, and lowest_cost 1/bins[0] —
+        this path emits those constants directly instead of
+        plane-sweeping 96 zero hypotheses (the sweep's broadcast of
+        the lookup features across bins OOM'd HBM at bench scale:
+        f32[32,1,96,20480,64] = 30 GB), and skips the lookup frames'
+        stem pass whose features would be discarded. Exact vs the
+        general path on zero lookups
+        (tests/test_matching_encoder.py::test_skip_cost_volume_parity).
+        """
         B, F = lookup_images.shape[:2]
-        flat = lookup_images.reshape((B * F,) + lookup_images.shape[2:])
-        # one stem pass over current + lookup frames (larger conv batch
-        # for the MXU; flax modules instantiated once)
-        all_f0, all_f1 = self._stem(
-            jnp.concatenate([current_image, flat], axis=0), train)
-        f0, f1 = all_f0[:B], all_f1[:B]
+        if skip_cost_volume:
+            f0, f1 = self._stem(current_image, train)
+        else:
+            flat = lookup_images.reshape((B * F,)
+                                         + lookup_images.shape[2:])
+            # one stem pass over current + lookup frames (larger conv
+            # batch for the MXU; flax modules instantiated once)
+            all_f0, all_f1 = self._stem(
+                jnp.concatenate([current_image, flat], axis=0), train)
+            f0, f1 = all_f0[:B], all_f1[:B]
         # NOTE: the reference declares a prematching_conv but never uses
         # it (resnet_encoder.py:122 is dead code) — matching happens on
         # the raw 64-channel layer1 features. We declare it too so
@@ -150,9 +177,6 @@ class ResnetEncoderMatching(nn.Module):
                            name="prematching_conv")
         _ = prematch(f1[:1, :1, :1])
         cur = f1
-        # torch.no_grad on the lookup branch (:275)
-        lf = jax.lax.stop_gradient(
-            all_f1[B:].reshape((B, F) + f1.shape[1:]))
 
         if min_depth_bin is None or not self.adaptive_bins:
             min_depth_bin = self.min_depth_bin
@@ -163,19 +187,31 @@ class ResnetEncoderMatching(nn.Module):
                                       jnp.asarray(max_depth_bin,
                                                   jnp.float32))
 
-        cur32 = cur.astype(jnp.float32)
-        cost_volume, missing = self._cost_volume(
-            cur32, lf.astype(jnp.float32), poses, K, invK, depth_bins)
-        cost_volume = jax.lax.stop_gradient(cost_volume)
-        missing = jax.lax.stop_gradient(missing)
+        if skip_cost_volume:
+            h, w = f1.shape[1:3]
+            D = self.num_depth_bins
+            cost_volume = jnp.zeros((B, D, h, w), jnp.float32)
+            confidence = jnp.zeros((B, h, w), jnp.float32)
+            lowest_cost = jnp.broadcast_to(1.0 / depth_bins[0],
+                                           (B, h, w))
+        else:
+            # torch.no_grad on the lookup branch (:275)
+            lf = jax.lax.stop_gradient(
+                all_f1[B:].reshape((B, F) + f1.shape[1:]))
+            cur32 = cur.astype(jnp.float32)
+            cost_volume, missing = self._cost_volume(
+                cur32, lf.astype(jnp.float32), poses, K, invK,
+                depth_bins)
+            cost_volume = jax.lax.stop_gradient(cost_volume)
+            missing = jax.lax.stop_gradient(missing)
 
-        confidence = (jnp.sum((cost_volume * (1 - missing) > 0)
-                              .astype(jnp.float32), axis=1)
-                      == self.num_depth_bins).astype(jnp.float32)
+            confidence = (jnp.sum((cost_volume * (1 - missing) > 0)
+                                  .astype(jnp.float32), axis=1)
+                          == self.num_depth_bins).astype(jnp.float32)
 
-        viz = jnp.where(cost_volume == 0, 100.0, cost_volume)
-        argmin = jnp.argmin(viz, axis=1)  # (B, h, w)
-        lowest_cost = 1.0 / depth_bins[argmin]
+            viz = jnp.where(cost_volume == 0, 100.0, cost_volume)
+            argmin = jnp.argmin(viz, axis=1)  # (B, h, w)
+            lowest_cost = 1.0 / depth_bins[argmin]
 
         masked_cv = cost_volume * confidence[:, None]
         # NHWC: volume joins the channel axis

@@ -246,8 +246,13 @@ class ManyDepthTrainModel(nn.Module):
         K, invK = self._quarter_K(B)
         lookup = jnp.zeros((B, 1) + x.shape[1:], x.dtype)
         poses = jnp.zeros((B, 1, 4, 4), jnp.float32)
+        # zero lookups + zero poses make the cost volume provably
+        # all-missing; skip_cost_volume emits its constants directly
+        # (exact; skips the 96-hypothesis sweep AND the lookup stem
+        # pass — models/matching_encoder.py)
         features, _, _ = self.encoder(x, lookup, poses, K, invK,
-                                      train=train)
+                                      train=train,
+                                      skip_cost_volume=True)
         return features
 
     def features_and_disps(self, x, train: bool = False):

@@ -52,6 +52,52 @@ def test_matching_encoder_shapes(enc_and_vars):
     assert np.isfinite(np.asarray(lowest_cost)).all()
 
 
+def test_manydepth_crop_input_zero_lookup(enc_and_vars):
+    """The hardening attack applies the ManyDepth model to
+    object-centered CROPS: the zero-lookup single-frame path must
+    accept inputs smaller than the module's static input size (the
+    plane grid follows the runtime feature shape — round-5 fix) and
+    the crop's cost volume stays all-missing (zero poses)."""
+    enc, variables, _ = enc_and_vars
+    Hc, Wc = H // 2, W - 32
+    rng = jax.random.PRNGKey(4)
+    cur = jax.random.uniform(rng, (2, Hc, Wc, 3))
+    lookup = jnp.zeros((2, 1, Hc, Wc, 3))
+    poses = jnp.zeros((2, 1, 4, 4))
+    K, invK = _K_quarter()
+    feats, lowest_cost, confidence = enc.apply(
+        variables, cur, lookup, poses,
+        jnp.broadcast_to(K, (2, 4, 4)),
+        jnp.broadcast_to(invK, (2, 4, 4)), train=False)
+    assert feats[1].shape == (2, Hc // 4, Wc // 4, 64)
+    assert lowest_cost.shape == (2, Hc // 4, Wc // 4)
+    # zero poses -> every frame missing -> zero confidence everywhere
+    # (so the masked cost volume feeds zeros into reduce_conv, the
+    # reference's single-frame behavior) and argmin falls to bin 0
+    # (lowest_cost = 1 / min_depth_bin)
+    assert float(jnp.max(confidence)) == 0.0
+    np.testing.assert_allclose(np.asarray(lowest_cost), 10.0)
+
+
+def test_skip_cost_volume_parity(enc_and_vars):
+    """skip_cost_volume=True (the zero-lookup hardening path's
+    short-circuit) must match the general path run on zero lookups /
+    zero poses exactly — features, lowest_cost and confidence."""
+    enc, variables, (cur, _, _, Kb, invKb) = enc_and_vars
+    lookup = jnp.zeros((2, 1, H, W, 3))
+    poses = jnp.zeros((2, 1, 4, 4))
+    ref = enc.apply(variables, cur, lookup, poses, Kb, invKb,
+                    train=False)
+    fast = enc.apply(variables, cur, lookup, poses, Kb, invKb,
+                     train=False, skip_cost_volume=True)
+    for a, b in zip(ref[0], fast[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ref[1]),
+                                  np.asarray(fast[1]))
+    np.testing.assert_array_equal(np.asarray(ref[2]),
+                                  np.asarray(fast[2]))
+
+
 def test_identity_pose_same_frame_zero_cost(enc_and_vars):
     """Lookup == current with identity pose: every depth hypothesis
     reprojects onto itself, so the interior cost is ~0 (up to the
