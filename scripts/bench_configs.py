@@ -242,6 +242,12 @@ def bench_eval(only=None):
         "arbi": AttackEvalConfig(norm_type="arbi"),
         "guassian": AttackEvalConfig(norm_type="guassian", step=10),
     }
+    # one jitted program for the two predictor forwards + masked
+    # metrics — called eagerly, each layer op pays a full tunnel
+    # round-trip (~35 s/batch measured)
+    metrics_fn = jax.jit(lambda adv, ben, masks: jnp.stack(
+        _batch_metrics(predictor, adv, ben, masks)))
+
     out = []
     for name, cfg in presets.items():
         if only and name != only:
@@ -252,7 +258,7 @@ def bench_eval(only=None):
             adv, ben, masks, _ = _atk(predictor.variables, scenes,
                                       _cfg.batch_size, key,
                                       eval_mode=True)
-            return jnp.stack(_batch_metrics(predictor, adv, ben, masks))
+            return metrics_fn(adv, ben, masks)
 
         t_c0 = time.perf_counter()
         _sync(run(jax.random.PRNGKey(17)))  # compile + first run
