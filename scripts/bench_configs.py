@@ -239,6 +239,16 @@ def bench_eval(only=None):
         "Square": AttackEvalConfig(norm_type="Square", n_queries=5000),
         "light": AttackEvalConfig(norm_type="light", n_inits=200,
                                   n_neighbors=20),
+        # watchdog-sized variants: the full Square@5000 / light@200x20
+        # presets fuse a 60-75 s single device program, which this
+        # environment's tunnel watchdog kills (TPU worker restart,
+        # reproduced 3x — an axon limit, not a code path issue); the
+        # reduced rows measure the same program at 1/5 the
+        # search length and scale linearly
+        "Square1k": AttackEvalConfig(norm_type="Square",
+                                     n_queries=1000),
+        "light40": AttackEvalConfig(norm_type="light", n_inits=40,
+                                    n_neighbors=20),
         "arbi": AttackEvalConfig(norm_type="arbi"),
         "guassian": AttackEvalConfig(norm_type="guassian", step=10),
     }
